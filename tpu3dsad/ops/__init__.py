@@ -1,0 +1,132 @@
+"""Public point-op API with implementation dispatch.
+
+Every hot op exists in two tiers behind this one API (SURVEY.md §7 design
+invariants): impl='xla' (pure-XLA reference, always available) and
+impl='pallas' (fused TPU kernels). Tests pin the tiers equal. This package
+replaces the lineage's C++ binding/dispatch layer (bindings.cpp — SURVEY.md
+§2.1): shape/dtype validation lives here, kernels are Python-defined.
+
+Default impl is process-global, set via `set_default_impl` or the
+TPU3DSAD_OPS_IMPL env var.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+
+from tpu3dsad.ops import xla as _xla
+from tpu3dsad.ops.masked import masked_max, masked_mean
+from tpu3dsad.ops.xla.interpolate import interp_weights
+
+_DEFAULT_IMPL = os.environ.get("TPU3DSAD_OPS_IMPL", "xla")
+_VALID_IMPLS = ("xla", "pallas")
+
+
+def set_default_impl(impl: str) -> None:
+    global _DEFAULT_IMPL
+    if impl not in _VALID_IMPLS:
+        raise ValueError(f"impl must be one of {_VALID_IMPLS}, got {impl!r}")
+    _DEFAULT_IMPL = impl
+
+
+def get_default_impl() -> str:
+    return _DEFAULT_IMPL
+
+
+def _backend(impl: str | None):
+    impl = impl or _DEFAULT_IMPL
+    if impl == "xla":
+        return _xla
+    if impl == "pallas":
+        from tpu3dsad.ops import pallas as _pallas  # lazy: traces on first jit
+
+        return _pallas
+    raise ValueError(f"impl must be one of {_VALID_IMPLS}, got {impl!r}")
+
+
+def _check_points(x, name, last=3):
+    if x.ndim != 3 or x.shape[-1] != last:
+        raise ValueError(f"{name} must be [B, N, {last}], got {x.shape}")
+
+
+def furthest_point_sample(xyz, npoint, *, mask=None, impl=None):
+    """xyz [B,N,3] -> idx [B,npoint] int32. Seed index 0; mask-aware."""
+    _check_points(xyz, "xyz")
+    if not 0 < npoint <= xyz.shape[1]:
+        raise ValueError(f"npoint={npoint} out of range for N={xyz.shape[1]}")
+    return _backend(impl).furthest_point_sample(xyz, npoint, mask=mask)
+
+
+def ball_query(xyz, centers, radius, nsample, *, mask=None, impl=None):
+    """-> (idx [B,M,K] int32, cnt [B,M] int32); pad-with-first-hit semantics."""
+    _check_points(xyz, "xyz")
+    _check_points(centers, "centers")
+    return _backend(impl).ball_query(xyz, centers, radius, nsample, mask=mask)
+
+
+def knn(query, support, k, *, support_mask=None, impl=None):
+    """-> (d2 [B,M,k], idx [B,M,k] int32), ties to lower index."""
+    return _backend(impl).knn(query, support, k, support_mask=support_mask)
+
+
+def three_nn(query, support, *, support_mask=None, impl=None):
+    return _backend(impl).three_nn(query, support, support_mask=support_mask)
+
+
+def gather(points, idx, *, impl=None):
+    """points [B,N,C], idx [B,M] -> [B,M,C] (VJP = scatter-add)."""
+    return _backend(impl).gather(points, idx)
+
+
+def group(points, idx, *, impl=None):
+    """points [B,N,C], idx [B,M,K] -> [B,M,K,C] (VJP = scatter-add)."""
+    return _backend(impl).group(points, idx)
+
+
+def query_and_group(
+    xyz,
+    centers,
+    radius,
+    nsample,
+    *,
+    features=None,
+    mask=None,
+    use_xyz=True,
+    normalize_xyz=False,
+    impl=None,
+):
+    """Fused ball-query + gather-and-group; see ops.xla.group.query_and_group."""
+    return _backend(impl).query_and_group(
+        xyz,
+        centers,
+        radius,
+        nsample,
+        features=features,
+        mask=mask,
+        use_xyz=use_xyz,
+        normalize_xyz=normalize_xyz,
+    )
+
+
+def three_interpolate(feats, idx, weight, *, impl=None):
+    """feats [B,N,C], idx/weight [B,M,3] -> [B,M,C]."""
+    return _backend(impl).three_interpolate(feats, idx, weight)
+
+
+__all__ = [
+    "furthest_point_sample",
+    "ball_query",
+    "knn",
+    "three_nn",
+    "gather",
+    "group",
+    "query_and_group",
+    "three_interpolate",
+    "interp_weights",
+    "masked_max",
+    "masked_mean",
+    "set_default_impl",
+    "get_default_impl",
+]

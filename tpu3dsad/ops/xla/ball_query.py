@@ -1,0 +1,44 @@
+"""Ball query — pure-XLA reference implementation.
+
+Reproduces the lineage CUDA semantics (SURVEY.md §2.1,
+pointnet2/_ext_src/src/ball_query_gpu.cu): for each center, the first K
+points (in index scan order 0..N-1) with squared distance < radius^2; slots
+past the hit count are padded with the FIRST hit's index; an empty ball
+yields all-zero indices.
+
+Vectorized first-K-in-order selection without sorting: score each in-ball
+point by (N - its index) and take `lax.top_k` — descending scores are exactly
+ascending scan order, scores are distinct, misses score 0.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpu3dsad.ops.xla.common import pairwise_sqdist, valid_mask
+
+
+def ball_query(
+    xyz: jnp.ndarray,
+    centers: jnp.ndarray,
+    radius: float,
+    nsample: int,
+    mask: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """xyz [B,N,3], centers [B,M,3] -> (idx [B,M,K] int32, cnt [B,M] int32)."""
+    B, N, _ = xyz.shape
+    valid = valid_mask(mask, (B, N))
+
+    d2 = pairwise_sqdist(centers, xyz)  # [B, M, N]
+    within = (d2 < radius * radius) & valid[:, None, :]
+
+    point_rank = jax.lax.broadcasted_iota(jnp.int32, within.shape, 2)
+    score = jnp.where(within, N - point_rank, 0)  # distinct positive on hits
+    top_vals, _ = jax.lax.top_k(score, nsample)  # [B, M, K], scan-ordered
+
+    hit = top_vals > 0
+    idx = jnp.where(hit, N - top_vals, 0).astype(jnp.int32)
+    idx = jnp.where(hit, idx, idx[..., :1])  # pad with first hit (0 if empty)
+    cnt = jnp.minimum(jnp.sum(within, axis=-1), nsample).astype(jnp.int32)
+    return idx, cnt
