@@ -1,0 +1,148 @@
+"""Frozen-dataclass config system with key=value CLI overrides.
+
+Replaces the lineage's ~30 argparse flags in train.py/eval.py plus the
+per-dataset DatasetConfig classes (SURVEY.md §5 "Config / flag system").
+Everything that shapes the compiled program (point budgets, proposal count,
+radius bank, heading bins) lives here so it is jit-static by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, replace
+from typing import Any
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    name: str = "detector"  # 'detector' | 'classifier'
+    num_classes: int = 18
+    num_heading_bins: int = 12
+    num_proposals: int = 256
+    vote_factor: int = 1
+    # backbone SA pyramid (ScanNet-scale defaults, SURVEY.md §3.3)
+    sa_npoints: tuple[int, ...] = (2048, 1024, 512, 256)
+    sa_radii: tuple[float, ...] = (0.2, 0.4, 0.8, 1.2)
+    sa_nsamples: tuple[int, ...] = (64, 32, 16, 16)
+    sa_channels: tuple[tuple[int, ...], ...] = (
+        (64, 64, 128),
+        (128, 128, 256),
+        (128, 128, 256),
+        (128, 128, 256),
+    )
+    fp_channels: tuple[tuple[int, ...], ...] = ((256, 256), (256, 256))
+    seed_feat_dim: int = 256
+    # size-adaptive clustering (the 3DSAD delta): bank of grouping radii,
+    # one chosen/blended per proposal from predicted size class
+    cluster_radius_bank: tuple[float, ...] = (0.15, 0.3, 0.6)
+    cluster_nsample: int = 16
+    input_feature_dim: int = 1  # height feature by default (lineage use_height)
+    bn_momentum: float = 0.9
+    dropout: float = 0.5
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    name: str = "scannet"  # 'synthetic' | 'modelnet' | 'scannet' | 'sunrgbd' | 'kitti'
+    root: str = ""
+    num_points: int = 40960
+    max_boxes: int = 64
+    augment: bool = True
+    use_height: bool = True
+    use_color: bool = False
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8
+    num_epochs: int = 180
+    lr: float = 1e-3
+    lr_decay_steps: tuple[int, ...] = (80, 120, 160)  # epochs
+    lr_decay_rates: tuple[float, ...] = (0.1, 0.1, 0.1)
+    weight_decay: float = 0.0
+    bn_momentum_init: float = 0.5
+    bn_momentum_max: float = 0.99  # lineage: bn decay steps like lr
+    grad_clip: float = 0.0
+    seed: int = 0
+    ckpt_dir: str = "./ckpt"
+    log_every: int = 10
+    eval_every: int = 10  # epochs
+    profile_dir: str = ""
+    mesh_shape: tuple[int, ...] = (-1,)  # data-parallel axis; -1 = all devices
+    mesh_axes: tuple[str, ...] = ("data",)
+    bf16_matmul: bool = False
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    nms_iou: float = 0.25
+    objectness_thresh: float = 0.05
+    ap_iou_threshs: tuple[float, ...] = (0.25, 0.5)
+    use_3d_nms: bool = True
+    cls_nms: bool = True
+    per_class_proposal: bool = True
+    conf_thresh: float = 0.05
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    ops_impl: str = "xla"  # 'xla' | 'pallas'
+
+
+def _coerce(val: str, typ: Any):
+    import typing
+
+    origin = typing.get_origin(typ)
+    if origin is tuple:
+        args = typing.get_args(typ)
+        elem = args[0] if args else str
+        if val.strip() == "()" or val.strip() == "":
+            return ()
+        parts = [p for p in val.strip("()[] ").split(",") if p.strip()]
+        return tuple(_coerce(p.strip(), elem) for p in parts)
+    if typ is bool or typ == "bool":
+        return val.lower() in ("1", "true", "yes", "on")
+    if typ is int or typ == "int":
+        return int(val)
+    if typ is float or typ == "float":
+        return float(val)
+    return val
+
+
+def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
+    """Apply 'section.key=value' (or 'key=value' for top-level) overrides."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value, got {ov!r}")
+        key, val = ov.split("=", 1)
+        path = key.split(".")
+        cfg = _set_path(cfg, path, val)
+    return cfg
+
+
+def _set_path(obj, path, val):
+    import typing
+
+    name = path[0]
+    if name not in {f.name for f in fields(obj)}:
+        valid = [f.name for f in fields(obj)]
+        raise ValueError(f"unknown config key {name!r}; valid: {valid}")
+    if len(path) == 1:
+        # resolve postponed (string) annotations to real types
+        typ = typing.get_type_hints(type(obj))[name]
+        return replace(obj, **{name: _coerce(val, typ)})
+    return replace(obj, **{name: _set_path(getattr(obj, name), path[1:], val)})
+
+
+def parse_cli(argv: list[str]) -> Config:
+    return apply_overrides(Config(), [a for a in argv if "=" in a])
+
+
+def describe(cfg: Config) -> str:
+    return "\n".join(
+        f"{sec.name}: {getattr(cfg, sec.name)}" for sec in dataclasses.fields(cfg)
+    )
