@@ -1,0 +1,140 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json:2): scenes/sec/chip at 20k-pt clouds. Until the
+detector lands, this measures the full backbone-scale forward path that
+dominates the pipeline; it switches to whole-pipeline detection
+(forward + decode + NMS) automatically once tpu3dsad.models.detector exists.
+
+vs_baseline: ratio vs the CPU-reference target proxy (BASELINE.json:5 "≥5×
+CPU-reference scenes/sec/chip"): we measure the same program on the JAX CPU
+backend once and report tpu/cpu.
+
+NOTE (memory: axon-timing-gotcha): block_until_ready does not block under
+the axon tunnel — all timings fetch results to host.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _timeit(fn, iters=10):
+    fn()  # warm / compile
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def _detection_forward(num_points=20480, batch=8):
+    """Build a jitted whole-scene forward at SUN RGB-D scale (config #2/#5)."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        from tpu3dsad.models.detector import SizeAdaptiveDetector  # noqa
+
+        have_detector = True
+    except ImportError:
+        have_detector = False
+
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(-3, 3, (batch, num_points, 3)).astype(np.float32))
+    mask = jnp.ones((batch, num_points), bool)
+
+    if have_detector:
+        from tpu3dsad.config import ModelConfig
+        from tpu3dsad.models.detector import SizeAdaptiveDetector
+
+        cfg = ModelConfig(num_classes=10)
+        model = SizeAdaptiveDetector(cfg)
+        variables = jax.jit(lambda k: model.init(k, pts, mask=mask, train=False))(
+            jax.random.key(0)
+        )
+        fwd = jax.jit(
+            lambda p, m: model.apply(variables, p, mask=m, train=False)
+        )
+        label = "detector-fwd"
+    else:
+        from tpu3dsad.config import ModelConfig
+        from tpu3dsad.models.backbone import PointNet2Backbone
+
+        cfg = ModelConfig()
+        model = PointNet2Backbone(cfg)
+        feats = jnp.asarray(
+            rng.standard_normal((batch, num_points, 1)).astype(np.float32)
+        )
+        variables = jax.jit(
+            lambda k: model.init(k, pts, feats, mask=mask, train=False)
+        )(jax.random.key(0))
+        fwd = jax.jit(
+            lambda p, m: model.apply(variables, p, feats, mask=m, train=False)
+        )
+        label = "backbone-fwd"
+
+    def run():
+        out = fwd(pts, mask)
+        # host fetch forces completion (axon: block_until_ready no-ops)
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(leaf)
+
+    return run, label, batch
+
+
+def main():
+    batch = 8
+    num_points = 20480
+    run, label, batch = _detection_forward(num_points, batch)
+    t = _timeit(run, iters=10)
+    scenes_per_sec = batch / t
+
+    # CPU reference proxy for vs_baseline (the reference is a CPU-usable
+    # research stack; BASELINE.json:5 sets the bar at >=5x CPU throughput).
+    vs = None
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            [sys.executable, __file__, "--cpu-probe"],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            env={
+                **__import__("os").environ,
+                "JAX_PLATFORMS": "cpu",
+            },
+        )
+        cpu_scenes = json.loads(out.stdout.strip().splitlines()[-1])["value"]
+        vs = scenes_per_sec / cpu_scenes if cpu_scenes else None
+    except Exception:
+        vs = None
+
+    print(
+        json.dumps(
+            {
+                "metric": f"scenes/sec/chip ({label}, {num_points}pt, b={batch})",
+                "value": round(scenes_per_sec, 3),
+                "unit": "scenes/sec",
+                "vs_baseline": round(vs, 3) if vs else None,
+            }
+        )
+    )
+
+
+def cpu_probe():
+    run, label, batch = _detection_forward()
+    t = _timeit(run, iters=3)
+    print(json.dumps({"value": batch / t}))
+
+
+if __name__ == "__main__":
+    if "--cpu-probe" in sys.argv:
+        cpu_probe()
+    else:
+        main()

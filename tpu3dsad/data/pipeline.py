@@ -1,0 +1,116 @@
+"""Host-side input pipeline: padding, vote targets, prefetch batching.
+
+The lineage's DataLoader worker processes (SURVEY.md §3.1) become a
+numpy-producing thread with double-buffered prefetch; every batch is
+fixed-shape (points padded to the config budget, GT boxes padded to
+max_boxes) so one XLA program serves the whole epoch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from collections.abc import Callable, Iterator
+
+import numpy as np
+
+
+def pad_points(points: np.ndarray, budget: int, rng=None):
+    """Pad [N,C] to [budget,C] (repeating nothing — mask marks pads) or
+    subsample to the budget if over. Returns (points, mask)."""
+    n = points.shape[0]
+    if n >= budget:
+        if rng is None:
+            sel = np.arange(budget)
+        else:
+            sel = rng.choice(n, budget, replace=False)
+        return points[sel], np.ones(budget, bool), sel
+    pad = np.zeros((budget - n, points.shape[1]), points.dtype)
+    mask = np.concatenate([np.ones(n, bool), np.zeros(budget - n, bool)])
+    return np.concatenate([points, pad]), mask, np.arange(n)
+
+
+def pad_boxes(arr: np.ndarray, max_boxes: int):
+    """Pad a per-box array [G, ...] to [max_boxes, ...]; returns (arr, mask)."""
+    g = arr.shape[0]
+    if g > max_boxes:
+        arr, g = arr[:max_boxes], max_boxes
+    out = np.zeros((max_boxes,) + arr.shape[1:], arr.dtype)
+    out[:g] = arr
+    mask = np.zeros(max_boxes, bool)
+    mask[:g] = True
+    return out, mask
+
+
+def scene_to_training_dict(points, spec, owner, max_boxes: int):
+    """Build the padded training example for one detection scene.
+
+    Vote-target convention (lineage scannet_detection_dataset.__getitem__ /
+    loss_helper — SURVEY.md §2.2): every point belonging to an object votes
+    for that object's center; non-object points have vote_mask 0.
+    """
+    n = points.shape[0]
+    votes = np.zeros((n, 3), np.float32)
+    vote_mask = owner >= 0
+    votes[vote_mask] = spec.centers[owner[vote_mask]] - points[vote_mask]
+
+    centers, box_mask = pad_boxes(spec.centers, max_boxes)
+    sizes, _ = pad_boxes(spec.sizes, max_boxes)
+    headings, _ = pad_boxes(spec.headings, max_boxes)
+    classes, _ = pad_boxes(spec.classes, max_boxes)
+
+    return {
+        "points": points.astype(np.float32),
+        "point_mask": np.ones(n, bool),
+        "vote_targets": votes,
+        "vote_mask": vote_mask,
+        "gt_centers": centers.astype(np.float32),
+        "gt_sizes": sizes.astype(np.float32),
+        "gt_headings": headings.astype(np.float32),
+        "gt_classes": classes.astype(np.int32),
+        "gt_mask": box_mask,
+    }
+
+
+class Batcher:
+    """Background-thread prefetching iterator over numpy batch dicts."""
+
+    def __init__(
+        self,
+        make_batch: Callable[[np.random.Generator], dict],
+        seed: int = 0,
+        prefetch: int = 2,
+        num_batches: int | None = None,
+    ):
+        self._make = make_batch
+        self._rng = np.random.default_rng(seed)
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._num = num_batches
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        produced = 0
+        while not self._stop.is_set():
+            if self._num is not None and produced >= self._num:
+                self._q.put(None)
+                return
+            batch = self._make(self._rng)
+            produced += 1
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self) -> Iterator[dict]:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            yield item
+
+    def close(self):
+        self._stop.set()

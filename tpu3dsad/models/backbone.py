@@ -19,7 +19,8 @@ class PointNet2Backbone(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, xyz, features=None, *, mask=None, train: bool = False):
+    def __call__(self, xyz, features=None, *, mask=None, train: bool = False,
+                 bn_momentum=0.9):
         """Returns dict with seed_xyz [B,S,3], seed_features [B,S,D],
         seed_inds [B,S], seed_mask [B,S] (S = cfg.sa_npoints[1])."""
         c = self.cfg
@@ -32,22 +33,23 @@ class PointNet2Backbone(nn.Module):
                 nsamples=(c.sa_nsamples[i],),
                 mlps=(tuple(c.sa_channels[i]),),
                 normalize_xyz=True,
-                bn_momentum=c.bn_momentum,
                 name=f"sa{i + 1}",
-            )(cur[0], cur[1], mask=cur[3], train=train)
+            )(cur[0], cur[1], mask=cur[3], train=train, bn_momentum=bn_momentum)
             sa_out.append(new)
             cur = new
 
         # FP1: level4 -> level3, FP2: level3 -> level2 (seeds)
         x3, f3, i3, m3 = sa_out[2]
         x4, f4, i4, m4 = sa_out[3]
-        f3p = FeaturePropagation(
-            mlp=tuple(c.fp_channels[0]), bn_momentum=c.bn_momentum, name="fp1"
-        )(x3, f3, x4, f4, dense_mask=m3, sparse_mask=m4, train=train)
+        f3p = FeaturePropagation(mlp=tuple(c.fp_channels[0]), name="fp1")(
+            x3, f3, x4, f4, dense_mask=m3, sparse_mask=m4, train=train,
+            bn_momentum=bn_momentum,
+        )
         x2, f2, i2, m2 = sa_out[1]
-        seeds = FeaturePropagation(
-            mlp=tuple(c.fp_channels[1]), bn_momentum=c.bn_momentum, name="fp2"
-        )(x2, f2, x3, f3p, dense_mask=m2, sparse_mask=m3, train=train)
+        seeds = FeaturePropagation(mlp=tuple(c.fp_channels[1]), name="fp2")(
+            x2, f2, x3, f3p, dense_mask=m2, sparse_mask=m3, train=train,
+            bn_momentum=bn_momentum,
+        )
 
         # Seed indices into the ORIGINAL cloud: compose sa2's picks (indices
         # into sa1's set) with sa1's picks. The lineage instead approximates

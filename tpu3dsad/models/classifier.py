@@ -14,27 +14,30 @@ from tpu3dsad.nn import GroupAll, MLPHead, SetAbstraction
 
 class PointNet2Classifier(nn.Module):
     num_classes: int = 40
-    bn_momentum: float = 0.9
     dropout: float = 0.5
+    sa1_npoint: int = 512
+    sa1_nsample: int = 32
+    sa2_npoint: int = 128
+    sa2_nsample: int = 64
 
     @nn.compact
-    def __call__(self, xyz, features=None, *, mask=None, train: bool = False):
+    def __call__(self, xyz, features=None, *, mask=None, train: bool = False,
+                 bn_momentum=0.9):
         """xyz [B,N,3] (+features [B,N,C]) -> logits [B, num_classes]."""
         xyz, feats, _, mask = SetAbstraction(
-            npoint=512, radii=(0.2,), nsamples=(32,), mlps=((64, 64, 128),),
-            bn_momentum=self.bn_momentum, name="sa1",
-        )(xyz, features, mask=mask, train=train)
+            npoint=self.sa1_npoint, radii=(0.2,), nsamples=(self.sa1_nsample,),
+            mlps=((64, 64, 128),), name="sa1",
+        )(xyz, features, mask=mask, train=train, bn_momentum=bn_momentum)
         xyz, feats, _, mask = SetAbstraction(
-            npoint=128, radii=(0.4,), nsamples=(64,), mlps=((128, 128, 256),),
-            bn_momentum=self.bn_momentum, name="sa2",
-        )(xyz, feats, mask=mask, train=train)
-        global_feat = GroupAll(
-            mlp=(256, 512, 1024), bn_momentum=self.bn_momentum, name="sa3"
-        )(xyz, feats, mask=mask, train=train)
+            npoint=self.sa2_npoint, radii=(0.4,), nsamples=(self.sa2_nsample,),
+            mlps=((128, 128, 256),), name="sa2",
+        )(xyz, feats, mask=mask, train=train, bn_momentum=bn_momentum)
+        global_feat = GroupAll(mlp=(256, 512, 1024), name="sa3")(
+            xyz, feats, mask=mask, train=train, bn_momentum=bn_momentum
+        )
         return MLPHead(
             channels=(512, 256),
             num_out=self.num_classes,
             dropout=self.dropout,
-            bn_momentum=self.bn_momentum,
             name="head",
-        )(global_feat, train=train)
+        )(global_feat, train=train, bn_momentum=bn_momentum)

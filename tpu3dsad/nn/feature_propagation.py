@@ -18,7 +18,6 @@ from tpu3dsad.nn.mlp import SharedMLP
 
 class FeaturePropagation(nn.Module):
     mlp: Sequence[int]
-    bn_momentum: float = 0.9
 
     @nn.compact
     def __call__(
@@ -31,6 +30,7 @@ class FeaturePropagation(nn.Module):
         dense_mask=None,
         sparse_mask=None,
         train: bool = False,
+        bn_momentum=0.9,
     ):
         """Interpolate sparse [B,S,C] features onto dense [B,N,3] points.
 
@@ -44,6 +44,6 @@ class FeaturePropagation(nn.Module):
 
         if dense_features is not None:
             interp = jnp.concatenate([dense_features, interp], axis=-1)
-        return SharedMLP(self.mlp, bn_momentum=self.bn_momentum, name="mlp")(
-            interp, mask=dense_mask, train=train
+        return SharedMLP(self.mlp, name="mlp")(
+            interp, mask=dense_mask, train=train, bn_momentum=bn_momentum
         )

@@ -4,10 +4,10 @@ TPU-native counterpart of the lineage's pytorch_utils.SharedMLP /
 Conv1d/Conv2d helpers (SURVEY.md §2.2): the lineage's 1x1 convs over
 channels-first tensors are, in channels-last layout, plain Dense layers —
 one batched matmul per layer, which XLA tiles straight onto the MXU.
-BatchNorm + ReLU follow each layer, with mask-aware batch statistics so
-padded points/groups never pollute the running moments (SURVEY.md §7 hard
-part #2 — this failure mode doesn't exist in the lineage and is TPU-rebuild
-specific).
+MaskedBatchNorm + ReLU follow each layer: padded points/groups never pollute
+the batch statistics (SURVEY.md §7 hard part #2), and BN momentum is a
+call-time traced scalar so the lineage's BN-momentum schedule runs inside a
+single compiled train step.
 """
 
 from __future__ import annotations
@@ -15,7 +15,8 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import flax.linen as nn
-import jax.numpy as jnp
+
+from tpu3dsad.nn.norm import MaskedBatchNorm
 
 
 class SharedMLP(nn.Module):
@@ -27,22 +28,16 @@ class SharedMLP(nn.Module):
 
     channels: Sequence[int]
     use_bn: bool = True
-    bn_momentum: float = 0.9
     activate_final: bool = True
 
     @nn.compact
-    def __call__(self, x, *, mask=None, train: bool = False):
-        bn_mask = None
-        if mask is not None:
-            bn_mask = mask[..., None].astype(bool)
+    def __call__(self, x, *, mask=None, train: bool = False, bn_momentum=0.9):
         for i, ch in enumerate(self.channels):
             x = nn.Dense(ch, use_bias=not self.use_bn, name=f"dense_{i}")(x)
             if self.use_bn:
-                x = nn.BatchNorm(
-                    use_running_average=not train,
-                    momentum=self.bn_momentum,
-                    name=f"bn_{i}",
-                )(x, mask=bn_mask)
+                x = MaskedBatchNorm(name=f"bn_{i}")(
+                    x, train=train, momentum=bn_momentum, mask=mask
+                )
             if self.activate_final or i < len(self.channels) - 1:
                 x = nn.relu(x)
         return x
@@ -55,17 +50,14 @@ class MLPHead(nn.Module):
     channels: Sequence[int]
     num_out: int
     dropout: float = 0.5
-    bn_momentum: float = 0.9
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False, bn_momentum=0.9):
         for i, ch in enumerate(self.channels):
             x = nn.Dense(ch, use_bias=False, name=f"fc_{i}")(x)
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=self.bn_momentum,
-                name=f"bn_{i}",
-            )(x)
+            x = MaskedBatchNorm(name=f"bn_{i}")(
+                x, train=train, momentum=bn_momentum
+            )
             x = nn.relu(x)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return nn.Dense(self.num_out, name="out")(x)

@@ -34,11 +34,10 @@ class SetAbstraction(nn.Module):
     mlps: Sequence[Sequence[int]]  # one channel list per scale
     use_xyz: bool = True
     normalize_xyz: bool = False
-    bn_momentum: float = 0.9
 
     @nn.compact
     def __call__(self, xyz, features=None, *, mask=None, train: bool = False,
-                 inds=None):
+                 inds=None, bn_momentum=0.9):
         """xyz [B,N,3], features [B,N,C] -> (new_xyz [B,M,3],
         new_features [B,M,C'], inds [B,M], new_mask [B,M])."""
         if inds is None:
@@ -66,9 +65,9 @@ class SetAbstraction(nn.Module):
             )
             # centers of padded/invalid sampled points contribute nothing
             gmask = gmask & new_mask[:, :, None]
-            h = SharedMLP(
-                channels, bn_momentum=self.bn_momentum, name=f"mlp_{s}"
-            )(grouped, mask=gmask, train=train)
+            h = SharedMLP(channels, name=f"mlp_{s}")(
+                grouped, mask=gmask, train=train, bn_momentum=bn_momentum
+            )
             pooled.append(ops.masked_max(h, gmask, axis=2))
 
         new_features = (
@@ -86,10 +85,10 @@ class GroupAll(nn.Module):
 
     mlp: Sequence[int]
     use_xyz: bool = True
-    bn_momentum: float = 0.9
 
     @nn.compact
-    def __call__(self, xyz, features=None, *, mask=None, train: bool = False):
+    def __call__(self, xyz, features=None, *, mask=None, train: bool = False,
+                 bn_momentum=0.9):
         parts = [xyz] if self.use_xyz else []
         if features is not None:
             parts.append(features)
@@ -97,7 +96,7 @@ class GroupAll(nn.Module):
         gmask = (
             jnp.ones(xyz.shape[:2], bool) if mask is None else mask.astype(bool)
         )
-        h = SharedMLP(self.mlp, bn_momentum=self.bn_momentum, name="mlp")(
-            grouped, mask=gmask, train=train
+        h = SharedMLP(self.mlp, name="mlp")(
+            grouped, mask=gmask, train=train, bn_momentum=bn_momentum
         )
         return ops.masked_max(h, gmask, axis=1)  # [B, C]

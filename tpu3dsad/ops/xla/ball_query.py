@@ -35,7 +35,12 @@ def ball_query(
 
     point_rank = jax.lax.broadcasted_iota(jnp.int32, within.shape, 2)
     score = jnp.where(within, N - point_rank, 0)  # distinct positive on hits
-    top_vals, _ = jax.lax.top_k(score, nsample)  # [B, M, K], scan-ordered
+    # nsample may exceed N (CUDA pads with the first hit); top_k needs k <= N
+    k_eff = min(nsample, N)
+    top_vals, _ = jax.lax.top_k(score, k_eff)  # [B, M, k_eff], scan-ordered
+    if k_eff < nsample:
+        pad = jnp.zeros(top_vals.shape[:-1] + (nsample - k_eff,), top_vals.dtype)
+        top_vals = jnp.concatenate([top_vals, pad], axis=-1)
 
     hit = top_vals > 0
     idx = jnp.where(hit, N - top_vals, 0).astype(jnp.int32)

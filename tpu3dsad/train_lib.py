@@ -1,0 +1,155 @@
+"""Training library: train state, schedules, jitted steps, checkpointing.
+
+TPU mapping of the lineage's train.py (SURVEY.md §3.1): everything from
+model(inputs) through optimizer.step() is ONE jitted train_step(state,
+batch) → (state, metrics); LR step-decay and the BN-momentum schedule are
+traced functions of the step counter, so no recompiles across the run.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.training import train_state
+
+from tpu3dsad.config import Config, TrainConfig
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
+    """Lineage-style step decay: lr * rate_i after epoch boundary i."""
+    boundaries = {
+        int(e) * steps_per_epoch: float(r)
+        for e, r in zip(cfg.lr_decay_steps, cfg.lr_decay_rates)
+    }
+    return optax.piecewise_constant_schedule(cfg.lr, boundaries)
+
+
+def bn_momentum_at(cfg: TrainConfig, epoch):
+    """Lineage BNMomentumScheduler: torch-momentum 0.5 halved every 20 epochs
+    (min 0.001) → flax running-average weight = 1 - torch_momentum."""
+    torch_m = jnp.maximum(0.5 * (0.5 ** (epoch // 20)), 0.001)
+    return 1.0 - torch_m
+
+
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
+    tx = optax.adam(lr_schedule(cfg, steps_per_epoch))
+    if cfg.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    if cfg.weight_decay > 0:
+        tx = optax.chain(tx, optax.add_decayed_weights(cfg.weight_decay))
+    return tx
+
+
+def create_state(model, example_batch_fn, tx, rng) -> TrainState:
+    """Init params/batch_stats with a jitted model.init on example inputs."""
+    variables = jax.jit(example_batch_fn)(rng)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        tx=tx,
+    )
+
+
+# ---------------------------------------------------------------- classifier
+
+
+def classifier_loss_fn(model, params, batch_stats, batch, rng, bn_momentum):
+    outputs, updates = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        batch["points"],
+        mask=batch["mask"],
+        train=True,
+        bn_momentum=bn_momentum,
+        mutable=["batch_stats"],
+        rngs={"dropout": rng},
+    )
+    loss = optax.softmax_cross_entropy_with_integer_labels(
+        outputs, batch["labels"]
+    ).mean()
+    acc = jnp.mean(jnp.argmax(outputs, -1) == batch["labels"])
+    return loss, (updates["batch_stats"], {"loss": loss, "acc": acc})
+
+
+@partial(jax.jit, static_argnums=0, donate_argnums=1)
+def classifier_train_step(model, state: TrainState, batch, rng, bn_momentum):
+    def lf(p):
+        return classifier_loss_fn(
+            model, p, state.batch_stats, batch, rng, bn_momentum
+        )
+
+    (_, (new_stats, metrics)), grads = jax.value_and_grad(lf, has_aux=True)(
+        state.params
+    )
+    state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+    return state, metrics
+
+
+@partial(jax.jit, static_argnums=0)
+def classifier_eval_step(model, state: TrainState, batch):
+    logits = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["points"],
+        mask=batch["mask"],
+        train=False,
+    )
+    return {
+        "acc": jnp.mean(jnp.argmax(logits, -1) == batch["labels"]),
+        "loss": optax.softmax_cross_entropy_with_integer_labels(
+            logits, batch["labels"]
+        ).mean(),
+    }
+
+
+# ------------------------------------------------------------- checkpointing
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, step: int, keep: int = 3):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(ckpt_dir)
+    os.makedirs(path, exist_ok=True)
+    with ocp.CheckpointManager(
+        path, options=ocp.CheckpointManagerOptions(max_to_keep=keep)
+    ) as mgr:
+        mgr.save(
+            step,
+            args=ocp.args.StandardSave(
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "opt_state": state.opt_state, "step": step}
+            ),
+        )
+
+
+def restore_checkpoint(ckpt_dir: str, state: TrainState) -> tuple[TrainState, int]:
+    """Auto-resume contract (lineage train.py): restore latest if present."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(ckpt_dir)
+    if not os.path.isdir(path):
+        return state, 0
+    with ocp.CheckpointManager(path) as mgr:
+        step = mgr.latest_step()
+        if step is None:
+            return state, 0
+        target = {"params": state.params, "batch_stats": state.batch_stats,
+                  "opt_state": state.opt_state, "step": 0}
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
+    state = state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+    return state, int(restored["step"])

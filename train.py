@@ -1,0 +1,108 @@
+"""Training entry point.
+
+TPU-native counterpart of the lineage's train.py (SURVEY.md §2.2/§3.1).
+Usage:
+    python train.py model.name=classifier data.name=synthetic train.num_epochs=2
+    python train.py model.name=detector data.name=scannet data.root=/data/scannet
+
+Config overrides are `section.key=value` pairs (see tpu3dsad/config.py).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+from tpu3dsad.config import parse_cli, describe
+
+
+def main(argv):
+    cfg = parse_cli(argv)
+    print(describe(cfg), file=sys.stderr)
+    if cfg.ops_impl != "xla":
+        from tpu3dsad import ops
+
+        ops.set_default_impl(cfg.ops_impl)
+
+    if cfg.model.name == "classifier":
+        run_classifier(cfg)
+    elif cfg.model.name == "detector":
+        from tpu3dsad.train_detector import run_detector
+
+        run_detector(cfg)
+    else:
+        raise SystemExit(f"unknown model.name={cfg.model.name}")
+
+
+def run_classifier(cfg):
+    import jax.numpy as jnp
+
+    from tpu3dsad import train_lib
+    from tpu3dsad.data.synthetic import classification_batch
+    from tpu3dsad.models.classifier import PointNet2Classifier
+    from tpu3dsad.parallel import make_mesh, shard_batch
+
+    mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
+    steps_per_epoch = 100
+    model = PointNet2Classifier(
+        num_classes=cfg.model.num_classes, dropout=cfg.model.dropout
+    )
+    rng_np = np.random.default_rng(cfg.train.seed)
+    example = classification_batch(
+        rng_np, cfg.train.batch_size, cfg.data.num_points, cfg.model.num_classes
+    )
+    example_j = {k: jnp.asarray(v) for k, v in example.items()}
+
+    tx = train_lib.make_optimizer(cfg.train, steps_per_epoch)
+    state = train_lib.create_state(
+        model,
+        lambda k: model.init(
+            k, example_j["points"], mask=example_j["mask"], train=False
+        ),
+        tx,
+        jax.random.key(cfg.train.seed),
+    )
+    state, start_step = train_lib.restore_checkpoint(cfg.train.ckpt_dir, state)
+    if start_step:
+        print(f"resumed from step {start_step}", file=sys.stderr)
+
+    key = jax.random.key(cfg.train.seed + 1)
+    step = start_step
+    for epoch in range(start_step // steps_per_epoch, cfg.train.num_epochs):
+        bn_m = train_lib.bn_momentum_at(cfg.train, epoch)
+        t0 = time.time()
+        for _ in range(steps_per_epoch):
+            batch = classification_batch(
+                rng_np, cfg.train.batch_size, cfg.data.num_points,
+                cfg.model.num_classes,
+            )
+            batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+            key, sub = jax.random.split(key)
+            state, metrics = train_lib.classifier_train_step(
+                model, state, batch, sub, bn_m
+            )
+            step += 1
+            if step % cfg.train.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                print(json.dumps({"step": step, "epoch": epoch, **m}))
+        dt = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "epoch": epoch,
+                    "epoch_time_s": round(dt, 2),
+                    "clouds_per_sec": round(
+                        steps_per_epoch * cfg.train.batch_size / dt, 2
+                    ),
+                }
+            )
+        )
+        train_lib.save_checkpoint(cfg.train.ckpt_dir, state, step)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
