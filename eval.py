@@ -1,0 +1,55 @@
+"""Evaluation entry point: restore a checkpoint, run the val sweep, print AP.
+
+Lineage: eval.py (SURVEY.md §2.2/§3.2).
+Usage: python eval.py data.name=synthetic train.ckpt_dir=./ckpt [overrides]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3dsad import train_lib
+from tpu3dsad.config import describe, parse_cli
+from tpu3dsad.data import get_dataset
+from tpu3dsad.eval.parse import parse_predictions
+from tpu3dsad.train_detector import build_detector, evaluate
+
+
+def main(argv):
+    cfg = parse_cli(argv)
+    print(describe(cfg), file=sys.stderr)
+    dataset = get_dataset(cfg)
+    model = build_detector(cfg, dataset.mean_sizes)
+
+    rng = np.random.default_rng(0)
+    example = dataset.train_batch(rng, cfg.train.batch_size)
+    ex = {k: jnp.asarray(v) for k, v in example.items()}
+    tx = train_lib.make_optimizer(cfg.train, 100)
+    state = train_lib.create_state(
+        model,
+        lambda k: model.init(k, ex["points"], mask=ex["point_mask"], train=False),
+        tx,
+        jax.random.key(0),
+    )
+    state, step = train_lib.restore_checkpoint(cfg.train.ckpt_dir, state)
+    if step == 0:
+        print("WARNING: no checkpoint found — evaluating random weights",
+              file=sys.stderr)
+
+    _, eval_step = train_lib.make_detector_steps(model, cfg)
+    parse = jax.jit(
+        lambda ep: parse_predictions(
+            ep, model._mean_sizes(), cfg.model.num_heading_bins, cfg.eval
+        )
+    )
+    metrics = evaluate(cfg, model, state, dataset, eval_step, parse)
+    print(json.dumps({"ckpt_step": step, **metrics}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,126 @@
+"""Real-dataset loaders exercised against fabricated on-disk fixtures
+(the documented .npy contracts), covering configs #3 (ScanNet), #2 (SUN
+RGB-D), #4 (KITTI crop+FPS)."""
+
+import numpy as np
+import pytest
+
+from tpu3dsad.config import Config, apply_overrides
+from tpu3dsad.data.registry import get_dataset
+
+
+def _write_scannet(root, split="train", scans=3, n=500):
+    d = root / split
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(scans):
+        verts = np.concatenate(
+            [rng.uniform(-3, 3, (n, 3)), rng.uniform(0, 255, (n, 3))], 1
+        ).astype(np.float32)
+        ins = rng.integers(0, 4, n)
+        sem = np.where(ins > 0, 5, 0)  # nyu40 id 5 = chair
+        bbox = np.array(
+            [[0.5, 0.5, 0.5, 1, 1, 1, 5], [-1, -1, 0.4, 1, 1, 0.8, 4]],
+            np.float32,
+        )
+        np.save(d / f"scene{i:04d}_vert.npy", verts)
+        np.save(d / f"scene{i:04d}_ins_label.npy", ins)
+        np.save(d / f"scene{i:04d}_sem_label.npy", sem)
+        np.save(d / f"scene{i:04d}_bbox.npy", bbox)
+
+
+def _write_oriented(root, split="train", scenes=3, n=800, cols=6, nc=10):
+    d = root / split
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(scenes):
+        pc = rng.uniform(-5, 5, (n, cols)).astype(np.float32)
+        pc[:, 0] = np.abs(pc[:, 0]) * 5  # keep some in KITTI front range
+        bbox = np.array(
+            [
+                [2.0, 0.0, 0.5, 1.5, 1.0, 1.0, 0.3, 1 % nc],
+                [5.0, 1.0, 0.2, 2.0, 1.2, 0.8, -0.5, 0],
+            ],
+            np.float32,
+        )
+        np.save(d / f"{i:06d}_pc.npy", pc)
+        np.save(d / f"{i:06d}_bbox.npy", bbox)
+
+
+def _check_batch(b, B, N, max_boxes):
+    assert b["points"].shape == (B, N, 3)
+    assert b["point_mask"].shape == (B, N)
+    assert b["vote_targets"].shape == (B, N, 3)
+    assert b["gt_centers"].shape == (B, max_boxes, 3)
+    assert b["gt_mask"].any()
+    # votes consistent: voting point + offset ≈ some GT center
+    for bi in range(B):
+        vm = b["vote_mask"][bi] & b["point_mask"][bi]
+        if not vm.any():
+            continue
+        tgt = b["points"][bi][vm] + b["vote_targets"][bi][vm]
+        gt = b["gt_centers"][bi][b["gt_mask"][bi]]
+        d = np.min(
+            np.linalg.norm(tgt[:, None] - gt[None], axis=-1), axis=-1
+        )
+        assert d.max() < 0.75, d.max()  # instance medians near a box center
+
+
+def test_scannet_loader(tmp_path, rng):
+    _write_scannet(tmp_path)
+    cfg = apply_overrides(
+        Config(),
+        ["data.name=scannet", f"data.root={tmp_path}", "data.num_points=256",
+         "data.max_boxes=8", "data.augment=true"],
+    )
+    ds = get_dataset(cfg)
+    assert ds.num_classes == 18
+    b = ds.train_batch(rng, 2)
+    _check_batch(b, 2, 256, 8)
+
+
+def test_sunrgbd_loader(tmp_path, rng):
+    _write_oriented(tmp_path)
+    cfg = apply_overrides(
+        Config(),
+        ["data.name=sunrgbd", f"data.root={tmp_path}", "data.num_points=256",
+         "data.max_boxes=8"],
+    )
+    ds = get_dataset(cfg)
+    assert ds.num_classes == 10
+    b = ds.train_batch(rng, 2)
+    _check_batch(b, 2, 256, 8)
+
+
+def test_kitti_loader_crop_and_fps(tmp_path, rng):
+    _write_oriented(tmp_path, n=2000, cols=4, nc=3)
+    cfg = apply_overrides(
+        Config(),
+        ["data.name=kitti", f"data.root={tmp_path}", "data.num_points=512",
+         "data.max_boxes=8", "data.augment=false"],
+    )
+    ds = get_dataset(cfg)
+    b = ds.train_batch(rng, 2)
+    _check_batch(b, 2, 512, 8)
+    # crop guarantee: every valid point inside the range box
+    from tpu3dsad.data.kitti import RANGE_MAX, RANGE_MIN
+
+    for bi in range(2):
+        pts = b["points"][bi][b["point_mask"][bi]]
+        assert (pts >= RANGE_MIN - 1e-5).all() and (pts <= RANGE_MAX + 1e-5).all()
+
+
+def test_missing_root_raises():
+    cfg = apply_overrides(
+        Config(), ["data.name=scannet", "data.root=/nonexistent"]
+    )
+    with pytest.raises(FileNotFoundError):
+        get_dataset(cfg)
+
+
+def test_host_fps_matches_device_semantics(rng):
+    from tpu3dsad.data.kitti import host_fps
+    from tpu3dsad.ops.oracle import fps_oracle
+
+    pts = rng.standard_normal((300, 3)).astype(np.float32)
+    np.testing.assert_array_equal(host_fps(pts, 50), fps_oracle(pts, 50))

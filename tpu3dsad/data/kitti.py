@@ -1,0 +1,151 @@
+"""KITTI-style outdoor dataset — benchmark config #4 (~120k-pt sparse clouds,
+range crop + FPS to 16k).
+
+Lineage: the 3DSSD-style outdoor loader of the family (SURVEY.md §2.2,
+BASELINE.json:10). On-disk contract under `<root>/<split>/`:
+
+  <idx>_pc.npy    float32 [N, 4]  xyz + intensity (velodyne frame, Z-up)
+  <idx>_bbox.npy  float32 [G, 8]  cx cy cz dx dy dz heading cls (cls 0..2:
+                                  car, pedestrian, cyclist)
+
+Pipeline per scene: crop to the front range box → furthest-point-sample to
+the point budget (host numpy FPS; the vectorized update loop is O(M·N)) →
+pad. Large-cloud FPS on-device is the Pallas kernel's job at train time;
+the host path keeps preprocessing self-contained.
+"""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+
+import numpy as np
+
+from tpu3dsad.config import Config
+from tpu3dsad.data.pipeline import pad_boxes
+from tpu3dsad.data.sunrgbd import points_in_oriented_box
+
+KITTI_CLASS_NAMES = ("car", "pedestrian", "cyclist")
+KITTI_MEAN_SIZES = np.array(
+    [[3.88, 1.63, 1.53], [0.84, 0.66, 1.74], [1.76, 0.60, 1.73]], np.float32
+)
+# front-camera range crop (meters): x forward, y lateral, z up
+RANGE_MIN = np.array([0.0, -40.0, -3.0], np.float32)
+RANGE_MAX = np.array([70.4, 40.0, 1.0], np.float32)
+
+
+def host_fps(points: np.ndarray, m: int, seed_idx: int = 0) -> np.ndarray:
+    """Vectorized numpy FPS (same semantics as ops.furthest_point_sample)."""
+    n = points.shape[0]
+    if n <= m:
+        return np.arange(n)
+    idx = np.zeros(m, np.int64)
+    idx[0] = seed_idx
+    dist = np.full(n, np.inf, np.float32)
+    last = seed_idx
+    for i in range(1, m):
+        d2 = np.sum((points - points[last]) ** 2, axis=-1)
+        np.minimum(dist, d2, out=dist)
+        last = int(np.argmax(dist))
+        idx[i] = last
+    return idx
+
+
+def range_crop(points: np.ndarray) -> np.ndarray:
+    keep = np.all(
+        (points[:, :3] >= RANGE_MIN) & (points[:, :3] <= RANGE_MAX), axis=-1
+    )
+    return np.nonzero(keep)[0]
+
+
+class KittiDetectionDataset:
+    num_classes = len(KITTI_CLASS_NAMES)
+    class_names = KITTI_CLASS_NAMES
+    mean_sizes = KITTI_MEAN_SIZES
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.root = cfg.data.root
+        if not self.root or not os.path.isdir(self.root):
+            raise FileNotFoundError(
+                f"data.root={self.root!r} not found — point it at the "
+                "extracted KITTI .npy directory (see module docstring)"
+            )
+        self.train_items = self._items("train")
+        self.val_items = self._items("val")
+
+    def _items(self, split):
+        d = os.path.join(self.root, split)
+        idxs = sorted(
+            os.path.basename(p)[: -len("_pc.npy")]
+            for p in glob(os.path.join(d, "*_pc.npy"))
+        )
+        return [(d, i) for i in idxs]
+
+    def steps_per_epoch(self, batch_size: int) -> int:
+        return max(1, len(self.train_items) // batch_size)
+
+    def _load_scene(self, d, idx, rng, augment):
+        pc = np.load(os.path.join(d, f"{idx}_pc.npy"))
+        bboxes = np.load(os.path.join(d, f"{idx}_bbox.npy")).reshape(-1, 8)
+
+        centers = bboxes[:, :3].astype(np.float32)
+        sizes = bboxes[:, 3:6].astype(np.float32)
+        headings = bboxes[:, 6].astype(np.float32)
+        classes = bboxes[:, 7].astype(np.int32)
+
+        # crop → FPS → pad (config #4 pipeline)
+        keep = range_crop(pc)
+        pc = pc[keep]
+        n_budget = self.cfg.data.num_points
+        if pc.shape[0] > n_budget:
+            sel = host_fps(pc[:, :3], n_budget)
+            pc = pc[sel]
+        n = pc.shape[0]
+        points = np.zeros((n_budget, 3), np.float32)
+        points[:n] = pc[:n, :3]
+        pmask = np.zeros(n_budget, bool)
+        pmask[:n] = True
+
+        votes = np.zeros((n_budget, 3), np.float32)
+        vmask = np.zeros(n_budget, bool)
+        for g in range(len(centers)):
+            inside = points_in_oriented_box(
+                points[:n], centers[g], sizes[g], headings[g]
+            )
+            votes[:n][inside] = centers[g] - points[:n][inside]
+            vmask[:n] |= inside
+
+        max_boxes = self.cfg.data.max_boxes
+        c, bm = pad_boxes(centers, max_boxes)
+        s, _ = pad_boxes(sizes, max_boxes)
+        h, _ = pad_boxes(headings, max_boxes)
+        k, _ = pad_boxes(classes, max_boxes)
+        return {
+            "points": points,
+            "point_mask": pmask,
+            "vote_targets": votes,
+            "vote_mask": vmask,
+            "gt_centers": c,
+            "gt_sizes": s,
+            "gt_headings": h,
+            "gt_classes": k,
+            "gt_mask": bm,
+        }
+
+    def _batch(self, items, rng, batch_size, augment):
+        picks = rng.choice(len(items), batch_size, replace=len(items) < batch_size)
+        out = [self._load_scene(*items[p], rng, augment) for p in picks]
+        return {k: np.stack([it[k] for it in out]) for k in out[0]}
+
+    def train_batch(self, rng, batch_size):
+        return self._batch(self.train_items, rng, batch_size, augment=True)
+
+    def val_batches(self, rng, batch_size):
+        items = self.val_items or self.train_items
+        for i in range(0, len(items) - batch_size + 1, batch_size):
+            out = [
+                self._load_scene(*items[j], rng, False)
+                for j in range(i, i + batch_size)
+            ]
+            yield {k: np.stack([it[k] for it in out]) for k in out[0]}

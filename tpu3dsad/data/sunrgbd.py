@@ -1,0 +1,144 @@
+"""SUN RGB-D detection dataset — benchmark config #2 (20k pts, 10 classes).
+
+Lineage: sunrgbd/sunrgbd_detection_dataset.py (SURVEY.md §2.2). On-disk
+contract (standard extracted layout), under `<root>/<split>/`:
+
+  <idx>_pc.npy    float32 [N, 6]   xyz + rgb(0-1)  (upright depth coords, Z-up)
+  <idx>_bbox.npy  float32 [G, 8]   cx cy cz dx dy dz heading cls
+                                   (dx/dy/dz FULL extents; cls in 0..9)
+  <idx>_votes.npy float32 [N, 4]   optional: vote mask + precomputed offset;
+                                   if absent, votes = points-in-box → center
+
+10 classes, oriented boxes with heading about +Z.
+"""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+
+import numpy as np
+
+from tpu3dsad.config import Config
+from tpu3dsad.data.augment import augment_scene, rot_z
+from tpu3dsad.data.pipeline import pad_boxes
+
+SUNRGBD_CLASS_NAMES = (
+    "bed", "table", "sofa", "chair", "toilet", "desk", "dresser",
+    "night_stand", "bookshelf", "bathtub",
+)
+
+# lineage sunrgbd/model_util_sunrgbd.py mean_size_arr priors
+SUNRGBD_MEAN_SIZES = np.array(
+    [
+        [2.114256, 1.620300, 0.927272], [0.791118, 1.279516, 0.718182],
+        [0.923508, 1.867419, 0.845495], [0.591958, 0.552978, 0.827272],
+        [0.699104, 0.454178, 0.756250], [0.69519, 1.346299, 0.736364],
+        [0.528526, 1.002642, 1.172878], [0.500618, 0.632163, 0.683424],
+        [0.404671, 1.071108, 1.688889], [0.76584, 1.398258, 0.472728],
+    ],
+    np.float32,
+)
+
+
+def points_in_oriented_box(points, center, size, heading):
+    """Bool mask of points inside an oriented (Z-up) box."""
+    local = (points - center) @ rot_z(heading)  # world→box via R^T == @R
+    half = size / 2
+    return np.all(np.abs(local) <= half + 1e-6, axis=-1)
+
+
+class SunRGBDDetectionDataset:
+    num_classes = len(SUNRGBD_CLASS_NAMES)
+    class_names = SUNRGBD_CLASS_NAMES
+    mean_sizes = SUNRGBD_MEAN_SIZES
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.root = cfg.data.root
+        if not self.root or not os.path.isdir(self.root):
+            raise FileNotFoundError(
+                f"data.root={self.root!r} not found — point it at the "
+                "extracted SUN RGB-D .npy directory (see module docstring)"
+            )
+        self.train_items = self._items("train")
+        self.val_items = self._items("val")
+
+    def _items(self, split):
+        d = os.path.join(self.root, split)
+        idxs = sorted(
+            os.path.basename(p)[: -len("_pc.npy")]
+            for p in glob(os.path.join(d, "*_pc.npy"))
+        )
+        return [(d, i) for i in idxs]
+
+    def steps_per_epoch(self, batch_size: int) -> int:
+        return max(1, len(self.train_items) // batch_size)
+
+    def _load_scene(self, d, idx, rng, augment):
+        pc = np.load(os.path.join(d, f"{idx}_pc.npy"))
+        bboxes = np.load(os.path.join(d, f"{idx}_bbox.npy"))
+        bboxes = bboxes.reshape(-1, 8)
+
+        centers = bboxes[:, :3].astype(np.float32)
+        sizes = bboxes[:, 3:6].astype(np.float32)
+        headings = bboxes[:, 6].astype(np.float32)
+        classes = bboxes[:, 7].astype(np.int32)
+
+        n_budget = self.cfg.data.num_points
+        n = pc.shape[0]
+        sel = (
+            rng.choice(n, n_budget, replace=n < n_budget)
+            if n != n_budget
+            else np.arange(n)
+        )
+        points = pc[sel, :3].astype(np.float32)
+
+        if augment and self.cfg.data.augment:
+            # lineage SUN RGB-D: single flip + ±30° rotation + scale
+            points, centers, headings, sizes = augment_scene(
+                rng, points, centers, headings, sizes, rot_range=np.pi / 6
+            )
+
+        votes = np.zeros((n_budget, 3), np.float32)
+        vmask = np.zeros(n_budget, bool)
+        for g in range(len(centers)):
+            inside = points_in_oriented_box(
+                points, centers[g], sizes[g], headings[g]
+            )
+            votes[inside] = centers[g] - points[inside]
+            vmask |= inside
+
+        max_boxes = self.cfg.data.max_boxes
+        c, bm = pad_boxes(centers, max_boxes)
+        s, _ = pad_boxes(sizes, max_boxes)
+        h, _ = pad_boxes(headings, max_boxes)
+        k, _ = pad_boxes(classes, max_boxes)
+        return {
+            "points": points,
+            "point_mask": np.ones(n_budget, bool),
+            "vote_targets": votes,
+            "vote_mask": vmask,
+            "gt_centers": c,
+            "gt_sizes": s,
+            "gt_headings": h,
+            "gt_classes": k,
+            "gt_mask": bm,
+        }
+
+    def _batch(self, items, rng, batch_size, augment):
+        picks = rng.choice(len(items), batch_size, replace=len(items) < batch_size)
+        out = [self._load_scene(*items[p], rng, augment) for p in picks]
+        return {k: np.stack([it[k] for it in out]) for k in out[0]}
+
+    def train_batch(self, rng, batch_size):
+        return self._batch(self.train_items, rng, batch_size, augment=True)
+
+    def val_batches(self, rng, batch_size):
+        items = self.val_items or self.train_items
+        for i in range(0, len(items) - batch_size + 1, batch_size):
+            out = [
+                self._load_scene(*items[j], rng, False)
+                for j in range(i, i + batch_size)
+            ]
+            yield {k: np.stack([it[k] for it in out]) for k in out[0]}

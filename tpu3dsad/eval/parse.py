@@ -1,0 +1,106 @@
+"""Prediction parsing: decode → threshold → NMS, all inside one XLA program.
+
+Lineage: parse_predictions in models/ap_helper.py (SURVEY.md §3.2) ran
+decode + NMS on the host; here the full path stays on-device
+(BASELINE.json:11 "full pipeline incl. 3D NMS") and only fixed-shape arrays
+cross to the host, where APCalculator formats per-class lists.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3dsad.config import EvalConfig
+from tpu3dsad.models.decode import predicted_boxes
+from tpu3dsad.ops.boxes import box_corners, corners_to_aabb
+from tpu3dsad.ops.nms import nms_aabb
+
+
+def parse_predictions(end_points, mean_sizes, num_heading_bins: int,
+                      eval_cfg: EvalConfig):
+    """-> dict of fixed-shape device arrays describing final detections.
+
+    keep [B,P] marks NMS survivors above the objectness threshold; the
+    per-class scores follow the lineage's per_class_proposal convention
+    (obj_prob × sem_prob) on the host side.
+    """
+    center, size, heading, sem, obj_prob = predicted_boxes(
+        end_points, mean_sizes, num_heading_bins
+    )
+    corners = box_corners(center, size, heading)  # [B,P,8,3]
+    bmin, bmax = corners_to_aabb(corners)
+
+    valid = end_points["proposal_mask"] & (obj_prob > eval_cfg.objectness_thresh)
+    keep = nms_aabb(
+        bmin,
+        bmax,
+        obj_prob,
+        valid,
+        eval_cfg.nms_iou,
+        sem_cls=sem if eval_cfg.cls_nms else None,
+    )
+    sem_prob = jax.nn.softmax(end_points["sem_cls_scores"], axis=-1)
+    return {
+        "center": center,
+        "size": size,
+        "heading": heading,
+        "sem_cls": sem,
+        "obj_prob": obj_prob,
+        "sem_prob": sem_prob,
+        "corners": corners,
+        "keep": keep,
+    }
+
+
+def predictions_to_lists(parsed, eval_cfg: EvalConfig, num_classes: int):
+    """Host side: fixed-shape arrays → per-scene list of
+    (class, corners [8,3], score) tuples (lineage batch_pred_map_cls)."""
+    keep = np.asarray(parsed["keep"])
+    corners = np.asarray(parsed["corners"])
+    obj = np.asarray(parsed["obj_prob"])
+    semp = np.asarray(parsed["sem_prob"])
+    sem = np.asarray(parsed["sem_cls"])
+    B, P = keep.shape
+    out = []
+    for b in range(B):
+        dets = []
+        for p in range(P):
+            if not keep[b, p]:
+                continue
+            if eval_cfg.per_class_proposal:
+                for c in range(num_classes):
+                    score = obj[b, p] * semp[b, p, c]
+                    if score > eval_cfg.conf_thresh:
+                        dets.append((c, corners[b, p], float(score)))
+            else:
+                score = float(obj[b, p] * semp[b, p, sem[b, p]])
+                if score > eval_cfg.conf_thresh:
+                    dets.append((int(sem[b, p]), corners[b, p], score))
+        out.append(dets)
+    return out
+
+
+def parse_groundtruths(batch):
+    """Host side: padded GT arrays → per-scene list of (class, corners)."""
+    from tpu3dsad.ops.boxes import box_corners as _bc
+
+    centers = np.asarray(batch["gt_centers"])
+    sizes = np.asarray(batch["gt_sizes"])
+    headings = np.asarray(batch["gt_headings"])
+    classes = np.asarray(batch["gt_classes"])
+    mask = np.asarray(batch["gt_mask"])
+    corners = np.asarray(
+        _bc(jnp.asarray(centers), jnp.asarray(sizes), jnp.asarray(headings))
+    )
+    out = []
+    for b in range(centers.shape[0]):
+        out.append(
+            [
+                (int(classes[b, g]), corners[b, g])
+                for g in range(mask.shape[1])
+                if mask[b, g]
+            ]
+        )
+    return out

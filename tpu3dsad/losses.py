@@ -1,0 +1,203 @@
+"""Detection losses: vote, objectness, box (center/heading/size), semantic,
+and the 3DSAD scale-selection loss.
+
+Lineage: models/loss_helper.py (SURVEY.md §2.2 "Losses"): vote l1-to-GT,
+objectness CE with near/far thresholds 0.3/0.6 and class weights (0.2, 0.8),
+center chamfer, heading/size cls+reg, sem cls; weighted sum ×10. All GT is
+padded to max_boxes with gt_mask — every reduction here is masked.
+
+The scale-selection loss supervises the size-adaptive radius bank (the
+3DSAD delta): the target scale for a positive proposal is the bank radius
+closest to half the mean horizontal extent of its assigned GT box — the
+radius that just covers the object's vote cluster.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpu3dsad.ops.boxes import angle_to_bin
+from tpu3dsad.ops.xla.common import pairwise_sqdist
+
+NEAR_THRESHOLD = 0.3
+FAR_THRESHOLD = 0.6
+OBJECTNESS_CLS_WEIGHTS = (0.2, 0.8)
+
+
+def _masked_mean(x, mask):
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def huber(x, delta: float = 1.0):
+    ax = jnp.abs(x)
+    return jnp.where(ax < delta, 0.5 * ax * ax / delta, ax - 0.5 * delta)
+
+
+def vote_loss(end_points, batch):
+    """L1 between predicted votes and GT (seed → owning-object center)."""
+    seed_inds = end_points["seed_inds"]  # [B,S] into input points
+    gt_offset = jnp.take_along_axis(
+        batch["vote_targets"], seed_inds[..., None], axis=1
+    )  # [B,S,3]
+    seed_votes_gt = end_points["seed_xyz"] + gt_offset
+    voting_mask = (
+        jnp.take_along_axis(batch["vote_mask"], seed_inds, axis=1)
+        & end_points["seed_mask"]
+    )
+    # vote_factor folded into S*F; tile GT across factor copies
+    F = end_points["vote_xyz"].shape[1] // seed_inds.shape[1]
+    gt = jnp.repeat(seed_votes_gt, F, axis=1)
+    vm = jnp.repeat(voting_mask, F, axis=1)
+    dist = jnp.sum(jnp.abs(end_points["vote_xyz"] - gt), axis=-1)
+    return _masked_mean(dist, vm)
+
+
+def assign_proposals(end_points, batch):
+    """Nearest-GT assignment for each proposal.
+
+    Returns (objectness_label [B,P], objectness_valid [B,P] — the not-ignored
+    zone, assignment [B,P] int — nearest GT index, pos_mask [B,P])."""
+    centers = end_points["proposal_xyz"]  # FPS'd vote cluster centers
+    d2 = pairwise_sqdist(centers, batch["gt_centers"])  # [B,P,G]
+    d2 = jnp.where(batch["gt_mask"][:, None, :], d2, jnp.inf)
+    nearest = jnp.argmin(d2, axis=-1)  # [B,P]
+    nearest_d = jnp.sqrt(jnp.min(d2, axis=-1))
+
+    has_gt = jnp.any(batch["gt_mask"], axis=-1, keepdims=True)
+    valid = end_points["proposal_mask"] & has_gt
+    pos = (nearest_d < NEAR_THRESHOLD) & valid
+    neg = (nearest_d > FAR_THRESHOLD) & valid
+    return pos, neg, nearest
+
+
+def objectness_loss(end_points, pos, neg):
+    logits = end_points["objectness_scores"]
+    labels = pos.astype(jnp.int32)
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    w = jnp.where(pos, OBJECTNESS_CLS_WEIGHTS[1], 0.0) + jnp.where(
+        neg, OBJECTNESS_CLS_WEIGHTS[0], 0.0
+    )
+    return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def center_loss(end_points, batch, pos):
+    """Chamfer-style: pred→nearest GT (positives) + GT→nearest pred."""
+    pred = end_points["center"]  # [B,P,3]
+    gt = batch["gt_centers"]  # [B,G,3]
+    BIG = 1e12  # finite sentinel: inf would NaN the masked means (inf * 0)
+    d2 = pairwise_sqdist(pred, gt)  # [B,P,G]
+    d2 = jnp.where(batch["gt_mask"][:, None, :], d2, BIG)
+    p2g = jnp.min(d2, axis=-1)
+    fwd = _masked_mean(huber(jnp.sqrt(p2g + 1e-8)) * (p2g < BIG), pos)
+
+    d2b = jnp.where(end_points["proposal_mask"][:, :, None], d2, BIG)
+    g2p = jnp.min(d2b, axis=1)  # [B,G]
+    bwd = _masked_mean(
+        huber(jnp.sqrt(g2p + 1e-8)) * (g2p < BIG), batch["gt_mask"]
+    )
+    return fwd + bwd
+
+
+def box_and_sem_loss(end_points, batch, pos, nearest, mean_sizes, num_heading_bins):
+    """Heading/size cls+reg and semantic CE on positive proposals."""
+
+    def gather_gt(field):
+        return jnp.take_along_axis(
+            batch[field],
+            nearest.reshape(*nearest.shape, *(1,) * (batch[field].ndim - 2)),
+            axis=1,
+        )
+
+    gt_heading = gather_gt("gt_headings")  # [B,P] (or [B,P,1])
+    gt_heading = gt_heading.reshape(nearest.shape)
+    gt_size = gather_gt("gt_sizes").reshape(*nearest.shape, 3)
+    gt_cls = gather_gt("gt_classes").reshape(nearest.shape)
+
+    NH = num_heading_bins
+    hbin, hres = angle_to_bin(gt_heading, NH)
+    h_ce = optax.softmax_cross_entropy_with_integer_labels(
+        end_points["heading_scores"], hbin
+    )
+    heading_cls = _masked_mean(h_ce, pos)
+    pred_res_norm = jnp.take_along_axis(
+        end_points["heading_residuals_normalized"], hbin[..., None], -1
+    )[..., 0]
+    heading_reg = _masked_mean(
+        huber(pred_res_norm - hres / (np.pi / NH)), pos
+    )
+
+    # size: template class == semantic class (lineage convention)
+    s_ce = optax.softmax_cross_entropy_with_integer_labels(
+        end_points["size_scores"], gt_cls
+    )
+    size_cls = _masked_mean(s_ce, pos)
+    ms = jnp.asarray(mean_sizes)  # [NS,3]
+    gt_res_norm = (gt_size - ms[gt_cls]) / ms[gt_cls]
+    pred_sres = jnp.take_along_axis(
+        end_points["size_residuals_normalized"],
+        gt_cls[..., None, None].repeat(3, -1),
+        axis=-2,
+    )[..., 0, :]
+    size_reg = _masked_mean(
+        jnp.sum(huber(pred_sres - gt_res_norm), axis=-1), pos
+    )
+
+    sem_ce = optax.softmax_cross_entropy_with_integer_labels(
+        end_points["sem_cls_scores"], gt_cls
+    )
+    sem_cls = _masked_mean(sem_ce, pos)
+    return heading_cls, heading_reg, size_cls, size_reg, sem_cls, gt_size
+
+
+def scale_selection_loss(end_points, pos, gt_size, radius_bank):
+    """3DSAD: CE of scale logits vs the bank radius covering the GT extent."""
+    bank = jnp.asarray(radius_bank)  # [R]
+    target_r = 0.5 * jnp.mean(gt_size[..., :2], axis=-1)  # [B,P]
+    tgt = jnp.argmin(jnp.abs(target_r[..., None] - bank), axis=-1)
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        end_points["scale_logits"], tgt
+    )
+    return _masked_mean(ce, pos)
+
+
+def detection_loss(end_points, batch, mean_sizes, num_heading_bins,
+                   radius_bank):
+    """Total loss (lineage weighting, SURVEY.md §2.2) + metrics dict."""
+    v_loss = vote_loss(end_points, batch)
+    pos, neg, nearest = assign_proposals(end_points, batch)
+    o_loss = objectness_loss(end_points, pos, neg)
+    c_loss = center_loss(end_points, batch, pos)
+    h_cls, h_reg, s_cls, s_reg, sem, gt_size = box_and_sem_loss(
+        end_points, batch, pos, nearest, mean_sizes, num_heading_bins
+    )
+    sc_loss = scale_selection_loss(end_points, pos, gt_size, radius_bank)
+
+    box_loss = c_loss + 0.1 * h_cls + h_reg + 0.1 * s_cls + s_reg
+    total = (
+        v_loss + 0.5 * o_loss + box_loss + 0.1 * sem + 0.1 * sc_loss
+    ) * 10.0
+
+    # objectness accuracy over the supervised zone (lineage metric)
+    pred_pos = jnp.argmax(end_points["objectness_scores"], -1) == 1
+    sup = pos | neg
+    obj_acc = _masked_mean((pred_pos == pos).astype(jnp.float32), sup)
+
+    metrics = {
+        "loss": total,
+        "vote_loss": v_loss,
+        "objectness_loss": o_loss,
+        "center_loss": c_loss,
+        "heading_cls_loss": h_cls,
+        "heading_reg_loss": h_reg,
+        "size_cls_loss": s_cls,
+        "size_reg_loss": s_reg,
+        "sem_cls_loss": sem,
+        "scale_sel_loss": sc_loss,
+        "obj_acc": obj_acc,
+        "pos_ratio": jnp.mean(pos.astype(jnp.float32)),
+    }
+    return total, metrics

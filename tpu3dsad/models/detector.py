@@ -1,0 +1,83 @@
+"""SizeAdaptiveDetector — the flagship model.
+
+Lineage: models/votenet.py VoteNet assembly with the 3DSAD size-adaptive
+proposal stage (SURVEY.md §1 L3, §3.3 tensor trace): backbone → voting →
+size-adaptive clustering/proposal → decoded end_points dict. Height feature
+(z - z_floor) is appended on-host by loaders; the model takes raw features.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3dsad.config import ModelConfig
+from tpu3dsad.data.synthetic import class_mean_sizes
+from tpu3dsad.models.backbone import PointNet2Backbone
+from tpu3dsad.models.decode import decode_proposals
+from tpu3dsad.models.proposal import SizeAdaptiveProposal
+from tpu3dsad.models.voting import VotingModule
+
+
+class SizeAdaptiveDetector(nn.Module):
+    cfg: ModelConfig
+    mean_sizes: tuple | None = None  # [NS,3]; dataset priors, else synthetic
+
+    def _mean_sizes(self) -> np.ndarray:
+        if self.mean_sizes is not None:
+            return np.asarray(self.mean_sizes, np.float32)
+        return class_mean_sizes(self.cfg.num_classes)
+
+    @nn.compact
+    def __call__(self, points, features=None, *, mask=None,
+                 train: bool = False, bn_momentum=0.9):
+        """points [B,N,3], features [B,N,C] -> end_points dict."""
+        c = self.cfg
+        if features is None and c.input_feature_dim > 0:
+            # default height feature: z above per-scene floor (min z of valid)
+            z = points[..., 2:3]
+            floor = jnp.min(
+                jnp.where(
+                    (mask[..., None] if mask is not None else jnp.ones_like(z, bool)),
+                    z,
+                    jnp.inf,
+                ),
+                axis=1,
+                keepdims=True,
+            )
+            features = z - floor
+
+        end_points = {}
+        bb = PointNet2Backbone(c, name="backbone")(
+            points, features, mask=mask, train=train, bn_momentum=bn_momentum
+        )
+        end_points.update(bb)
+
+        vote_xyz, vote_feat, vote_mask = VotingModule(
+            vote_factor=c.vote_factor, feat_dim=c.seed_feat_dim, name="voting"
+        )(
+            bb["seed_xyz"], bb["seed_features"], mask=bb["seed_mask"],
+            train=train, bn_momentum=bn_momentum,
+        )
+        end_points["vote_xyz"] = vote_xyz
+        end_points["vote_features"] = vote_feat
+        end_points["vote_mask"] = vote_mask
+
+        prop = SizeAdaptiveProposal(
+            num_classes=c.num_classes,
+            num_heading_bins=c.num_heading_bins,
+            num_proposals=c.num_proposals,
+            radius_bank=tuple(c.cluster_radius_bank),
+            nsample=c.cluster_nsample,
+            name="proposal",
+        )(vote_xyz, vote_feat, vote_mask=vote_mask, train=train,
+          bn_momentum=bn_momentum)
+        end_points.update(prop)
+
+        decoded = decode_proposals(
+            prop["raw_params"], prop["proposal_xyz"], self._mean_sizes(),
+            c.num_heading_bins,
+        )
+        end_points.update(decoded)
+        return end_points

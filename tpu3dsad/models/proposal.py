@@ -1,0 +1,115 @@
+"""Size-adaptive clustering + proposal head — the 3DSAD delta.
+
+Lineage base: models/proposal_module.py (SURVEY.md §2.2): FPS over votes →
+fixed-radius QueryAndGroup(r=0.3, K=16) → Conv1d head → raw box params
+[B, P, 2 + 3 + NH*2 + NS*4 + NC]. 3DSAD replaces the single fixed radius
+with size-adaptive per-class radius/scale selection (BASELINE.json:5,
+/root/reference/README.md:2 "Size Adaptive Clustering").
+
+TPU-native design (SURVEY.md §7 hard part #5 — the radius-bank design is
+ours to define): votes are grouped at a small static BANK of radii (derived
+from per-class mean-size priors); each scale runs its own shared MLP +
+masked max-pool; a scale-selection head predicts logits over the bank and
+the proposal feature is the softmax-weighted blend. Shapes stay static, the
+selection is differentiable, and a hard argmax at eval time reproduces
+discrete per-class radius selection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tpu3dsad import ops
+from tpu3dsad.nn.mlp import SharedMLP
+from tpu3dsad.nn.norm import MaskedBatchNorm
+
+
+class SizeAdaptiveProposal(nn.Module):
+    num_classes: int
+    num_heading_bins: int = 12
+    num_proposals: int = 256
+    radius_bank: Sequence[float] = (0.15, 0.3, 0.6)
+    nsample: int = 16
+    feat_dim: int = 128
+
+    @nn.compact
+    def __call__(self, vote_xyz, vote_features, *, vote_mask=None,
+                 train: bool = False, bn_momentum=0.9):
+        """Returns end_points dict with raw proposal params + scale logits."""
+        P = self.num_proposals
+        R = len(self.radius_bank)
+        NH, NS = self.num_heading_bins, self.num_classes
+
+        inds = ops.furthest_point_sample(vote_xyz, P, mask=vote_mask)
+        centers = ops.gather(vote_xyz, inds)  # [B, P, 3]
+        center_mask = (
+            jnp.ones(inds.shape, bool)
+            if vote_mask is None
+            else jnp.take_along_axis(vote_mask, inds, axis=1)
+        )
+
+        # --- size-adaptive grouping: one grouped MLP per bank radius
+        scale_feats = []
+        for r_i, radius in enumerate(self.radius_bank):
+            grouped, _, gmask = ops.query_and_group(
+                vote_xyz,
+                centers,
+                radius,
+                self.nsample,
+                features=vote_features,
+                mask=vote_mask,
+                use_xyz=True,
+                normalize_xyz=True,
+            )
+            gmask = gmask & center_mask[:, :, None]
+            h = SharedMLP(
+                (self.feat_dim, self.feat_dim, self.feat_dim),
+                name=f"scale_mlp_{r_i}",
+            )(grouped, mask=gmask, train=train, bn_momentum=bn_momentum)
+            scale_feats.append(ops.masked_max(h, gmask, axis=2))  # [B,P,D]
+
+        stacked = jnp.stack(scale_feats, axis=2)  # [B, P, R, D]
+
+        # --- scale selection: logits over the radius bank per proposal
+        sel_in = stacked.reshape(*stacked.shape[:2], R * self.feat_dim)
+        sel_h = SharedMLP((self.feat_dim,), name="scale_sel_mlp")(
+            sel_in, mask=center_mask, train=train, bn_momentum=bn_momentum
+        )
+        scale_logits = nn.Dense(R, name="scale_sel_out")(sel_h)  # [B,P,R]
+
+        # soft selection while training (differentiable), hard at eval —
+        # straight-through blend keeps one compiled graph for both
+        soft_w = jax.nn.softmax(scale_logits, axis=-1)
+        if not train:
+            hard = jax.nn.one_hot(
+                jnp.argmax(scale_logits, -1), R, dtype=soft_w.dtype
+            )
+            soft_w = hard
+        feat = jnp.einsum(
+            "bprd,bpr->bpd", stacked, soft_w,
+            preferred_element_type=jnp.float32,
+        )
+
+        # --- proposal head → raw box params (lineage channel layout)
+        x = feat
+        for i in range(2):
+            x = nn.Dense(self.feat_dim, use_bias=False, name=f"head_{i}")(x)
+            x = MaskedBatchNorm(name=f"head_bn_{i}")(
+                x, train=train, momentum=bn_momentum, mask=center_mask
+            )
+            x = nn.relu(x)
+        out_ch = 2 + 3 + NH * 2 + NS * 4 + self.num_classes
+        raw = nn.Dense(out_ch, name="head_out")(x)  # [B, P, out_ch]
+
+        return {
+            "proposal_xyz": centers,
+            "proposal_inds": inds,
+            "proposal_mask": center_mask,
+            "scale_logits": scale_logits,
+            "raw_params": raw,
+        }
+

@@ -1,0 +1,62 @@
+"""Shape-static 3D NMS — jit-compiled masked greedy suppression.
+
+Lineage: utils/nms.py nms_3d_faster (numpy, host-side — SURVEY.md §2.1):
+sort by score desc, greedily keep, suppress IoU > threshold. Here the whole
+thing is a fixed-iteration XLA program over the K=num_proposals boxes
+(BASELINE.json:5/11 require NMS inside the compiled pipeline). O(K²) IoU
+matrix + K-step `fori_loop`; K=256 → trivial on-chip.
+
+Class-aware NMS uses the coordinate-offset trick: translating each box by
+class_id × span makes cross-class IoU zero, so one pass handles all classes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpu3dsad.ops.boxes import aabb_iou_3d
+
+
+def nms_aabb(
+    box_min: jnp.ndarray,
+    box_max: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thresh: float,
+    sem_cls: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """box_min/max [B,K,3], scores [B,K], valid [B,K] -> keep [B,K] bool.
+
+    Ties in score break toward the lower index (stable argsort), a
+    measure-zero deviation from the lineage's traversal order.
+    """
+    B, K, _ = box_min.shape
+    if sem_cls is not None:
+        span = jnp.max(box_max) - jnp.min(box_min) + 1.0
+        shift = (sem_cls.astype(box_min.dtype) * span)[..., None]
+        box_min = box_min + shift
+        box_max = box_max + shift
+
+    iou = aabb_iou_3d(box_min, box_max, box_min, box_max)  # [B,K,K]
+    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf), axis=-1)
+
+    def body(i, carry):
+        keep, suppressed = carry
+        cand = order[:, i]  # [B]
+        cand_valid = (
+            jnp.take_along_axis(valid, cand[:, None], 1)[:, 0]
+            & ~jnp.take_along_axis(suppressed, cand[:, None], 1)[:, 0]
+        )
+        keep = keep.at[jnp.arange(B), cand].set(
+            cand_valid | keep[jnp.arange(B), cand]
+        )
+        cand_iou = jnp.take_along_axis(iou, cand[:, None, None], 1)[:, 0]  # [B,K]
+        newly = (cand_iou > iou_thresh) & cand_valid[:, None]
+        # never suppress the candidate itself
+        newly = newly.at[jnp.arange(B), cand].set(False)
+        return keep, suppressed | newly
+
+    keep0 = jnp.zeros((B, K), bool)
+    keep, _ = jax.lax.fori_loop(0, K, body, (keep0, jnp.zeros((B, K), bool)))
+    return keep & valid

@@ -1,0 +1,129 @@
+"""Detector training loop (lineage train.py detection path, SURVEY.md §3.1).
+
+One jitted train_step per batch; periodic on-train-data AP eval via the
+on-device parse (decode+NMS) + host APCalculator; orbax checkpoints with
+auto-resume.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3dsad import train_lib
+from tpu3dsad.config import Config
+from tpu3dsad.data import get_dataset
+from tpu3dsad.eval.ap import APCalculator
+from tpu3dsad.eval.parse import (
+    parse_groundtruths,
+    parse_predictions,
+    predictions_to_lists,
+)
+from tpu3dsad.models.detector import SizeAdaptiveDetector
+from tpu3dsad.parallel import make_mesh, shard_batch
+
+
+def build_detector(cfg: Config, mean_sizes=None):
+    return SizeAdaptiveDetector(
+        cfg.model,
+        mean_sizes=tuple(map(tuple, mean_sizes)) if mean_sizes is not None else None,
+    )
+
+
+def run_detector(cfg: Config):
+    mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
+    dataset = get_dataset(cfg)
+    model = build_detector(cfg, dataset.mean_sizes)
+    steps_per_epoch = dataset.steps_per_epoch(cfg.train.batch_size)
+
+    rng_np = np.random.default_rng(cfg.train.seed)
+    example = dataset.train_batch(rng_np, cfg.train.batch_size)
+    example_j = shard_batch({k: jnp.asarray(v) for k, v in example.items()}, mesh)
+
+    tx = train_lib.make_optimizer(cfg.train, steps_per_epoch)
+    state = train_lib.create_state(
+        model,
+        lambda k: model.init(
+            k, example_j["points"], mask=example_j["point_mask"], train=False
+        ),
+        tx,
+        jax.random.key(cfg.train.seed),
+    )
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    print(f"detector params: {n_params / 1e6:.2f}M", file=sys.stderr)
+    state, start_step = train_lib.restore_checkpoint(cfg.train.ckpt_dir, state)
+    if start_step:
+        print(f"resumed from step {start_step}", file=sys.stderr)
+
+    train_step, eval_step = train_lib.make_detector_steps(model, cfg)
+    parse = jax.jit(
+        lambda ep: parse_predictions(
+            ep, model._mean_sizes(), cfg.model.num_heading_bins, cfg.eval
+        )
+    )
+
+    key = jax.random.key(cfg.train.seed + 1)
+    step = start_step
+    for epoch in range(start_step // steps_per_epoch, cfg.train.num_epochs):
+        bn_m = train_lib.bn_momentum_at(cfg.train, epoch)
+        t0 = time.time()
+        for _ in range(steps_per_epoch):
+            batch = dataset.train_batch(rng_np, cfg.train.batch_size)
+            batch = shard_batch(
+                {k: jnp.asarray(v) for k, v in batch.items()}, mesh
+            )
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, batch, sub, bn_m)
+            step += 1
+            if step % cfg.train.log_every == 0:
+                m = {k: round(float(v), 4) for k, v in metrics.items()}
+                print(json.dumps({"step": step, "epoch": epoch, **m}))
+        dt = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "epoch": epoch,
+                    "epoch_time_s": round(dt, 2),
+                    "scenes_per_sec": round(
+                        steps_per_epoch * cfg.train.batch_size / dt, 2
+                    ),
+                }
+            )
+        )
+        train_lib.save_checkpoint(cfg.train.ckpt_dir, state, step)
+
+        if (epoch + 1) % cfg.train.eval_every == 0:
+            m = evaluate(cfg, model, state, dataset, eval_step, parse)
+            print(json.dumps({"epoch": epoch, **m}))
+
+
+def evaluate(cfg, model, state, dataset, eval_step, parse, num_batches=None):
+    """Val sweep → AP table (lineage eval.py path, SURVEY.md §3.2)."""
+    calc = {
+        t: APCalculator(iou_thresh=t, class_names=dataset.class_names)
+        for t in cfg.eval.ap_iou_threshs
+    }
+    rng = np.random.default_rng(12345)
+    losses = []
+    for i, batch_np in enumerate(dataset.val_batches(rng, cfg.train.batch_size)):
+        if num_batches is not None and i >= num_batches:
+            break
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        end_points, metrics = eval_step(state, batch)
+        losses.append(float(metrics["loss"]))
+        parsed = parse(end_points)
+        preds = predictions_to_lists(parsed, cfg.eval, cfg.model.num_classes)
+        gts = parse_groundtruths(batch_np)
+        for c in calc.values():
+            c.step(preds, gts)
+    out = {"val_loss": round(float(np.mean(losses)), 4) if losses else None}
+    for t, c in calc.items():
+        m = c.compute_metrics()
+        out[f"mAP@{t}"] = round(m["mAP"], 4)
+        out[f"AR@{t}"] = round(m["AR"], 4)
+    return out

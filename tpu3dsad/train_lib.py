@@ -112,6 +112,55 @@ def classifier_eval_step(model, state: TrainState, batch):
     }
 
 
+# ----------------------------------------------------------------- detector
+
+
+def make_detector_steps(model, cfg: Config):
+    """Build jitted train/eval steps for the detector, closed over statics.
+
+    Returns (train_step(state, batch, rng, bn_momentum) -> (state, metrics),
+             eval_step(state, batch) -> (end_points, metrics))."""
+    from tpu3dsad.losses import detection_loss
+
+    mean_sizes = model._mean_sizes()
+    nh = cfg.model.num_heading_bins
+    bank = tuple(cfg.model.cluster_radius_bank)
+
+    def loss_fn(params, batch_stats, batch, rng, bn_momentum):
+        end_points, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["points"],
+            mask=batch["point_mask"],
+            train=True,
+            bn_momentum=bn_momentum,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        loss, metrics = detection_loss(end_points, batch, mean_sizes, nh, bank)
+        return loss, (updates["batch_stats"], metrics)
+
+    @partial(jax.jit, donate_argnums=0)
+    def train_step(state: TrainState, batch, rng, bn_momentum):
+        (_, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, rng, bn_momentum)
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        return state, metrics
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        end_points = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["points"],
+            mask=batch["point_mask"],
+            train=False,
+        )
+        loss, metrics = detection_loss(end_points, batch, mean_sizes, nh, bank)
+        return end_points, metrics
+
+    return train_step, eval_step
+
+
 # ------------------------------------------------------------- checkpointing
 
 
