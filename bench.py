@@ -34,8 +34,18 @@ def _timeit(fn, iters=10):
 
 def _detection_forward(num_points=20480, batch=8):
     """Build a jitted whole-scene forward at SUN RGB-D scale (config #2/#5)."""
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    from tpu3dsad import ops
+
+    # production path: fast in-ball member selection; Pallas kernels via env
+    # (first Pallas compile costs minutes under axon remote compile)
+    ops.set_fast_grouping(os.environ.get("TPU3DSAD_BENCH_EXACT", "0") != "1")
+    if os.environ.get("TPU3DSAD_BENCH_IMPL"):
+        ops.set_default_impl(os.environ["TPU3DSAD_BENCH_IMPL"])
 
     try:
         from tpu3dsad.models.detector import SizeAdaptiveDetector  # noqa
@@ -128,6 +138,12 @@ def main():
 
 
 def cpu_probe():
+    # the axon sitecustomize force-registers the TPU in every process;
+    # JAX_PLATFORMS=cpu alone is ignored (memory: axon-timing-gotcha)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.devices()[0].platform == "cpu", jax.devices()
     run, label, batch = _detection_forward()
     t = _timeit(run, iters=3)
     print(json.dumps({"value": batch / t}))

@@ -23,6 +23,11 @@ from tpu3dsad.train_detector import build_detector, evaluate
 def main(argv):
     cfg = parse_cli(argv)
     print(describe(cfg), file=sys.stderr)
+    from tpu3dsad import ops
+
+    if cfg.ops_impl != "xla":
+        ops.set_default_impl(cfg.ops_impl)
+    ops.set_fast_grouping(cfg.ops_fast_grouping)
     dataset = get_dataset(cfg)
     model = build_detector(cfg, dataset.mean_sizes)
 

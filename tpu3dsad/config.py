@@ -91,6 +91,9 @@ class Config:
     train: TrainConfig = field(default_factory=TrainConfig)
     eval: EvalConfig = field(default_factory=EvalConfig)
     ops_impl: str = "xla"  # 'xla' | 'pallas'
+    # single-pass approx in-ball member selection (11x faster grouping;
+    # membership stays exact-in-ball). Turn off for lineage scan-order parity.
+    ops_fast_grouping: bool = True
 
 
 def _coerce(val: str, typ: Any):

@@ -22,6 +22,20 @@ from tpu3dsad.ops.xla.interpolate import interp_weights
 
 _DEFAULT_IMPL = os.environ.get("TPU3DSAD_OPS_IMPL", "xla")
 _VALID_IMPLS = ("xla", "pallas")
+_EXACT_GROUPING = os.environ.get("TPU3DSAD_EXACT_GROUPING", "1") == "1"
+
+
+def set_fast_grouping(fast: bool) -> None:
+    """Fast mode selects in-ball group members with single-pass approx_max_k
+    (≈11× faster at ScanNet scale, ~99.9% member recall) instead of the
+    lineage's exact first-K-in-scan-order. Membership stays strictly in-ball
+    either way; only WHICH in-ball points fill the K slots can differ."""
+    global _EXACT_GROUPING
+    _EXACT_GROUPING = not fast
+
+
+def get_fast_grouping() -> bool:
+    return not _EXACT_GROUPING
 
 
 def set_default_impl(impl: str) -> None:
@@ -59,11 +73,15 @@ def furthest_point_sample(xyz, npoint, *, mask=None, impl=None):
     return _backend(impl).furthest_point_sample(xyz, npoint, mask=mask)
 
 
-def ball_query(xyz, centers, radius, nsample, *, mask=None, impl=None):
+def ball_query(xyz, centers, radius, nsample, *, mask=None, impl=None,
+               exact=None):
     """-> (idx [B,M,K] int32, cnt [B,M] int32); pad-with-first-hit semantics."""
     _check_points(xyz, "xyz")
     _check_points(centers, "centers")
-    return _backend(impl).ball_query(xyz, centers, radius, nsample, mask=mask)
+    exact = _EXACT_GROUPING if exact is None else exact
+    return _backend(impl).ball_query(
+        xyz, centers, radius, nsample, mask=mask, exact=exact
+    )
 
 
 def knn(query, support, k, *, support_mask=None, impl=None):
@@ -96,8 +114,10 @@ def query_and_group(
     use_xyz=True,
     normalize_xyz=False,
     impl=None,
+    exact=None,
 ):
     """Fused ball-query + gather-and-group; see ops.xla.group.query_and_group."""
+    exact = _EXACT_GROUPING if exact is None else exact
     return _backend(impl).query_and_group(
         xyz,
         centers,
@@ -107,6 +127,7 @@ def query_and_group(
         mask=mask,
         use_xyz=use_xyz,
         normalize_xyz=normalize_xyz,
+        exact=exact,
     )
 
 
@@ -129,4 +150,6 @@ __all__ = [
     "masked_mean",
     "set_default_impl",
     "get_default_impl",
+    "set_fast_grouping",
+    "get_fast_grouping",
 ]

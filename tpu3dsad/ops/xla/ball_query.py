@@ -9,6 +9,14 @@ yields all-zero indices.
 Vectorized first-K-in-order selection without sorting: score each in-ball
 point by (N - its index) and take `lax.top_k` — descending scores are exactly
 ascending scan order, scores are distinct, misses score 0.
+
+Fast mode (exact=False): `lax.top_k` on TPU costs ~K passes over N (376 of
+the 394ms of a 2048×20480×K64 ball query, measured); `lax.approx_max_k`
+is the TPU-native single-pass selector. It may return a slightly different
+K-subset of the in-ball points than strict scan order — membership in the
+ball is still exact (scores stay thresholded), only WHICH K of the in-ball
+points are grouped can differ, which a max-pool over the group is insensitive
+to. Exact mode remains the parity/reference tier.
 """
 
 from __future__ import annotations
@@ -25,6 +33,7 @@ def ball_query(
     radius: float,
     nsample: int,
     mask: jnp.ndarray | None = None,
+    exact: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """xyz [B,N,3], centers [B,M,3] -> (idx [B,M,K] int32, cnt [B,M] int32)."""
     B, N, _ = xyz.shape
@@ -37,7 +46,13 @@ def ball_query(
     score = jnp.where(within, N - point_rank, 0)  # distinct positive on hits
     # nsample may exceed N (CUDA pads with the first hit); top_k needs k <= N
     k_eff = min(nsample, N)
-    top_vals, _ = jax.lax.top_k(score, k_eff)  # [B, M, k_eff], scan-ordered
+    if exact:
+        top_vals, _ = jax.lax.top_k(score, k_eff)  # [B,M,k_eff], scan order
+    else:
+        top_vals, _ = jax.lax.approx_max_k(
+            score.astype(jnp.float32), k_eff, recall_target=0.95
+        )
+        top_vals = top_vals.astype(jnp.int32)
     if k_eff < nsample:
         pad = jnp.zeros(top_vals.shape[:-1] + (nsample - k_eff,), top_vals.dtype)
         top_vals = jnp.concatenate([top_vals, pad], axis=-1)
@@ -45,5 +60,8 @@ def ball_query(
     hit = top_vals > 0
     idx = jnp.where(hit, N - top_vals, 0).astype(jnp.int32)
     idx = jnp.where(hit, idx, idx[..., :1])  # pad with first hit (0 if empty)
-    cnt = jnp.minimum(jnp.sum(within, axis=-1), nsample).astype(jnp.int32)
+    if exact:
+        cnt = jnp.minimum(jnp.sum(within, axis=-1), nsample).astype(jnp.int32)
+    else:
+        cnt = jnp.sum(hit, axis=-1).astype(jnp.int32)
     return idx, cnt

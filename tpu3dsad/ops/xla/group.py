@@ -40,6 +40,7 @@ def query_and_group(
     mask: jnp.ndarray | None = None,
     use_xyz: bool = True,
     normalize_xyz: bool = False,
+    exact: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Ball-query then gather-and-group around each center.
 
@@ -51,7 +52,7 @@ def query_and_group(
     holding a real (non-pad-duplicate... pad slots repeat the first hit, so
     the mask marks slots < cnt; empty balls are all-False).
     """
-    idx, cnt = ball_query(xyz, centers, radius, nsample, mask=mask)
+    idx, cnt = ball_query(xyz, centers, radius, nsample, mask=mask, exact=exact)
     grouped_xyz = group(xyz, idx) - centers[:, :, None, :]  # [B,M,K,3]
     if normalize_xyz:
         grouped_xyz = grouped_xyz / radius

@@ -23,10 +23,11 @@ from tpu3dsad.config import parse_cli, describe
 def main(argv):
     cfg = parse_cli(argv)
     print(describe(cfg), file=sys.stderr)
-    if cfg.ops_impl != "xla":
-        from tpu3dsad import ops
+    from tpu3dsad import ops
 
+    if cfg.ops_impl != "xla":
         ops.set_default_impl(cfg.ops_impl)
+    ops.set_fast_grouping(cfg.ops_fast_grouping)
 
     if cfg.model.name == "classifier":
         run_classifier(cfg)
