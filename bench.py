@@ -41,11 +41,13 @@ def _detection_forward(num_points=20480, batch=8):
 
     from tpu3dsad import ops
 
-    # production path: fast in-ball member selection; Pallas kernels via env
-    # (first Pallas compile costs minutes under axon remote compile)
+    # production path: fast in-ball member selection + Pallas kernels on TPU
+    # (first Pallas compile costs minutes under axon remote compile — one-time
+    # per process). Env overrides: TPU3DSAD_BENCH_EXACT=1, TPU3DSAD_BENCH_IMPL.
     ops.set_fast_grouping(os.environ.get("TPU3DSAD_BENCH_EXACT", "0") != "1")
-    if os.environ.get("TPU3DSAD_BENCH_IMPL"):
-        ops.set_default_impl(os.environ["TPU3DSAD_BENCH_IMPL"])
+    on_tpu = jax.devices()[0].platform != "cpu"
+    impl = os.environ.get("TPU3DSAD_BENCH_IMPL", "pallas" if on_tpu else "xla")
+    ops.set_default_impl(impl)
 
     try:
         from tpu3dsad.models.detector import SizeAdaptiveDetector  # noqa
@@ -59,7 +61,8 @@ def _detection_forward(num_points=20480, batch=8):
     mask = jnp.ones((batch, num_points), bool)
 
     if have_detector:
-        from tpu3dsad.config import ModelConfig
+        from tpu3dsad.config import Config, EvalConfig, ModelConfig
+        from tpu3dsad.eval.parse import parse_predictions
         from tpu3dsad.models.detector import SizeAdaptiveDetector
 
         cfg = ModelConfig(num_classes=10)
@@ -67,10 +70,19 @@ def _detection_forward(num_points=20480, batch=8):
         variables = jax.jit(lambda k: model.init(k, pts, mask=mask, train=False))(
             jax.random.key(0)
         )
-        fwd = jax.jit(
-            lambda p, m: model.apply(variables, p, mask=m, train=False)
-        )
-        label = "detector-fwd"
+        eval_cfg = EvalConfig()
+        mean_sizes = model._mean_sizes()
+
+        # whole-scene inference as ONE XLA program: forward + decode + 3D NMS
+        # (BASELINE.json:11 "full pipeline incl. 3D NMS")
+        def _full(p, m):
+            ep = model.apply(variables, p, mask=m, train=False)
+            return parse_predictions(
+                ep, mean_sizes, cfg.num_heading_bins, eval_cfg
+            )["keep"]
+
+        fwd = jax.jit(_full)
+        label = "full-pipeline"
     else:
         from tpu3dsad.config import ModelConfig
         from tpu3dsad.models.backbone import PointNet2Backbone
@@ -110,17 +122,20 @@ def main():
     try:
         import subprocess
 
-        out = subprocess.run(
-            [sys.executable, __file__, "--cpu-probe"],
-            capture_output=True,
-            text=True,
-            timeout=1800,
-            env={
-                **__import__("os").environ,
-                "JAX_PLATFORMS": "cpu",
-            },
-        )
-        cpu_scenes = json.loads(out.stdout.strip().splitlines()[-1])["value"]
+        import os
+
+        cache = os.path.join(os.path.dirname(__file__), ".bench_cpu_probe.json")
+        if os.path.exists(cache):
+            cpu_scenes = json.load(open(cache))["value"]
+        else:
+            env = {k: v for k, v in os.environ.items()
+                   if k != "TPU3DSAD_BENCH_IMPL"}
+            out = subprocess.run(
+                [sys.executable, __file__, "--cpu-probe"],
+                capture_output=True, text=True, timeout=1800, env=env,
+            )
+            cpu_scenes = json.loads(out.stdout.strip().splitlines()[-1])["value"]
+            json.dump({"value": cpu_scenes}, open(cache, "w"))
         vs = scenes_per_sec / cpu_scenes if cpu_scenes else None
     except Exception:
         vs = None
@@ -144,6 +159,9 @@ def cpu_probe():
 
     jax.config.update("jax_platforms", "cpu")
     assert jax.devices()[0].platform == "cpu", jax.devices()
+    import os
+
+    os.environ["TPU3DSAD_BENCH_IMPL"] = "xla"  # no Pallas on the CPU probe
     run, label, batch = _detection_forward()
     t = _timeit(run, iters=3)
     print(json.dumps({"value": batch / t}))

@@ -74,7 +74,11 @@ def main(argv):
     with open(os.path.join(out_dir, "detections.json"), "w") as f:
         json.dump({"ckpt_step": step, "detections": dets}, f, indent=1)
     np.save(os.path.join(out_dir, "points.npy"), batch_np["points"][0])
-    print(f"wrote {len(dets)} detections to {out_dir}/detections.json")
+
+    from tpu3dsad.utils.dump import dump_results
+
+    dump_results(out_dir, batch_np, parsed, scene=0)
+    print(f"wrote {len(dets)} detections to {out_dir}/ (json + ply + obj)")
 
 
 if __name__ == "__main__":

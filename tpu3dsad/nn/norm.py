@@ -20,7 +20,7 @@ import jax.numpy as jnp
 class MaskedBatchNorm(nn.Module):
     """BatchNorm over all axes but the last, mask-aware, dynamic momentum."""
 
-    epsilon: float = 1e-3
+    epsilon: float = 1e-5  # torch BatchNorm default, for weight-import parity
     dtype: jnp.dtype | None = None
 
     @nn.compact

@@ -67,6 +67,10 @@ def run_detector(cfg: Config):
         )
     )
 
+    if cfg.train.profile_dir:
+        # SURVEY.md §5 tracing: capture a short window of real train steps
+        jax.profiler.start_trace(cfg.train.profile_dir)
+
     key = jax.random.key(cfg.train.seed + 1)
     step = start_step
     for epoch in range(start_step // steps_per_epoch, cfg.train.num_epochs):
@@ -96,6 +100,8 @@ def run_detector(cfg: Config):
             )
         )
         train_lib.save_checkpoint(cfg.train.ckpt_dir, state, step)
+        if cfg.train.profile_dir and epoch == start_step // steps_per_epoch:
+            jax.profiler.stop_trace()  # first epoch only
 
         if (epoch + 1) % cfg.train.eval_every == 0:
             m = evaluate(cfg, model, state, dataset, eval_step, parse)

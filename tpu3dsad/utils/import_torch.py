@@ -1,0 +1,136 @@
+"""One-way torch→JAX weight importer (SURVEY.md §5 "Checkpoint / resume":
+a lineage checkpoint can seed parity evaluation).
+
+Maps the lineage VoteNet naming convention (models/backbone_module.py,
+models/voting_module.py `[LINEAGE]`) onto this framework's Flax tree:
+
+  backbone_net.sa{i}.mlp_module.layer{j}.conv.weight   [out,in,1,1]
+      → backbone/sa{i}/mlp_0/dense_{j}/kernel          [in,out]
+  backbone_net.sa{i}.mlp_module.layer{j}.bn.bn.{weight,bias,
+      running_mean,running_var}
+      → backbone/sa{i}/mlp_0/bn_{j}/{scale,bias} + batch_stats {mean,var}
+  backbone_net.fp{i}.mlp.layer{j}.*                    → backbone/fp{i}/mlp/*
+  vgen.conv{1,2}.weight [out,in,1] + vgen.bn{1,2}.*    → voting/dense_{0,1}/*
+  vgen.conv3.weight/bias                               → voting/out/*
+
+The lineage is channels-first; kernels are transposed to channels-last
+(SURVEY.md §7 design invariants). The 3DSAD proposal head is structurally
+new (size-adaptive radius bank) and is NOT importable — its params stay as
+initialized; `import_lineage_weights` returns the list of copied and
+skipped source keys so callers can verify coverage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _conv_to_dense(w: np.ndarray) -> np.ndarray:
+    """torch conv weight [out, in, 1(,1)] → flax dense kernel [in, out]."""
+    w = np.asarray(w)
+    while w.ndim > 2:
+        if w.shape[-1] != 1:
+            raise ValueError(f"not a 1x1 conv: {w.shape}")
+        w = w[..., 0]
+    return np.ascontiguousarray(w.T)
+
+
+def _rules(num_sa: int = 4, num_fp: int = 2, mlp_layers: int = 3):
+    out = []
+    for i in range(1, num_sa + 1):
+        for j in range(mlp_layers):
+            src = f"backbone_net.sa{i}.mlp_module.layer{j}"
+            dst = ("backbone", f"sa{i}", "mlp_0")
+            out.append((src, dst, f"dense_{j}", f"bn_{j}"))
+    for i in range(1, num_fp + 1):
+        for j in range(mlp_layers - 1):
+            src = f"backbone_net.fp{i}.mlp.layer{j}"
+            dst = ("backbone", f"fp{i}", "mlp")
+            out.append((src, dst, f"dense_{j}", f"bn_{j}"))
+    return out
+
+
+def import_lineage_weights(state_dict: dict, variables: dict) -> tuple[dict, list, list]:
+    """Copy lineage weights into a detector `variables` pytree.
+
+    state_dict: flat {torch_name: array}; variables: {'params':…,
+    'batch_stats':…} as produced by model.init. Returns (new_variables,
+    copied_keys, skipped_keys).
+    """
+    import copy
+
+    variables = copy.deepcopy(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    )
+    params, stats = variables["params"], variables["batch_stats"]
+    copied = []
+
+    def put(tree, path, value, expect_shape=True):
+        node = tree
+        for p in path[:-1]:
+            node = node[p]
+        old = node[path[-1]]
+        value = np.asarray(value, np.float32)
+        if old.shape != value.shape:
+            raise ValueError(f"{'/'.join(path)}: {old.shape} vs {value.shape}")
+        node[path[-1]] = value
+
+    def try_copy(src, dst_mod, dense, bn):
+        hit = False
+        if f"{src}.conv.weight" in state_dict:
+            put(
+                params,
+                dst_mod + (dense, "kernel"),
+                _conv_to_dense(state_dict[f"{src}.conv.weight"]),
+            )
+            copied.append(f"{src}.conv.weight")
+            hit = True
+        for torch_bn_prefix in (f"{src}.bn.bn", f"{src}.bn"):
+            if f"{torch_bn_prefix}.weight" in state_dict:
+                put(params, dst_mod + (bn, "scale"), state_dict[f"{torch_bn_prefix}.weight"])
+                put(params, dst_mod + (bn, "bias"), state_dict[f"{torch_bn_prefix}.bias"])
+                put(stats, dst_mod + (bn, "mean"), state_dict[f"{torch_bn_prefix}.running_mean"])
+                put(stats, dst_mod + (bn, "var"), state_dict[f"{torch_bn_prefix}.running_var"])
+                copied.extend(
+                    f"{torch_bn_prefix}.{s}"
+                    for s in ("weight", "bias", "running_mean", "running_var")
+                )
+                hit = True
+                break
+        return hit
+
+    for src, dst, dense, bn in _rules():
+        try_copy(src, dst, dense, bn)
+
+    # voting module: vgen.conv1/conv2 (+bn1/bn2), conv3 with bias
+    for j, (cv, bn) in enumerate((("conv1", "bn1"), ("conv2", "bn2"))):
+        if f"vgen.{cv}.weight" in state_dict:
+            put(params, ("voting", f"dense_{j}", "kernel"),
+                _conv_to_dense(state_dict[f"vgen.{cv}.weight"]))
+            copied.append(f"vgen.{cv}.weight")
+        if f"vgen.{bn}.weight" in state_dict:
+            put(params, ("voting", f"bn_{j}", "scale"), state_dict[f"vgen.{bn}.weight"])
+            put(params, ("voting", f"bn_{j}", "bias"), state_dict[f"vgen.{bn}.bias"])
+            put(stats, ("voting", f"bn_{j}", "mean"), state_dict[f"vgen.{bn}.running_mean"])
+            put(stats, ("voting", f"bn_{j}", "var"), state_dict[f"vgen.{bn}.running_var"])
+            copied.extend(
+                f"vgen.{bn}.{s}"
+                for s in ("weight", "bias", "running_mean", "running_var")
+            )
+    if "vgen.conv3.weight" in state_dict:
+        put(params, ("voting", "out", "kernel"),
+            _conv_to_dense(state_dict["vgen.conv3.weight"]))
+        put(params, ("voting", "out", "bias"), state_dict["vgen.conv3.bias"])
+        copied.extend(["vgen.conv3.weight", "vgen.conv3.bias"])
+
+    skipped = [k for k in state_dict if k not in copied]
+    return variables, copied, skipped
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a lineage checkpoint.tar → flat numpy state_dict (CPU torch)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model_state_dict", ckpt)
+    return {k: v.detach().numpy() for k, v in sd.items()}
