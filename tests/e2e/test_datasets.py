@@ -119,8 +119,9 @@ def test_missing_root_raises():
 
 
 def test_host_fps_matches_device_semantics(rng):
-    from tpu3dsad.data.kitti import host_fps
+    from tpu3dsad.data.kitti import device_fps, host_fps
     from tpu3dsad.ops.oracle import fps_oracle
 
     pts = rng.standard_normal((300, 3)).astype(np.float32)
     np.testing.assert_array_equal(host_fps(pts, 50), fps_oracle(pts, 50))
+    np.testing.assert_array_equal(device_fps(pts, 50), fps_oracle(pts, 50))

@@ -36,6 +36,21 @@ def test_pallas_fps_masked_matches_xla(rng):
     np.testing.assert_array_equal(a, b)
 
 
+def test_pallas_fps_flat_large_n_path(rng, monkeypatch):
+    """B=1 large-N variant ([S,L] plane layout) matches the oracle."""
+    import tpu3dsad.ops.pallas.fps as pf
+
+    monkeypatch.setattr(pf, "MAX_KERNEL_N", 128)  # force the flat path
+    N, M = 1000, 48
+    xyz = rng.uniform(-2, 2, (1, N, 3)).astype(np.float32)
+    mask = np.ones((1, N), bool)
+    mask[0, 800:] = False
+    got = np.asarray(
+        pf.furthest_point_sample(jnp.asarray(xyz), M, mask=jnp.asarray(mask))
+    )
+    np.testing.assert_array_equal(got[0], fps_oracle(xyz[0], M, mask[0]))
+
+
 def test_pallas_fps_nonaligned_n(rng):
     """N not a multiple of 128 exercises the internal lane padding."""
     B, N, M = 1, 131, 16

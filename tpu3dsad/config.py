@@ -50,6 +50,8 @@ class DataConfig:
     augment: bool = True
     use_height: bool = True
     use_color: bool = False
+    # run large-cloud preprocessing FPS (KITTI crop→budget) on the TPU
+    device_preproc: bool = False
 
 
 @dataclass(frozen=True)

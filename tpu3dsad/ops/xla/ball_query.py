@@ -27,6 +27,12 @@ import jax.numpy as jnp
 from tpu3dsad.ops.xla.common import pairwise_sqdist, valid_mask
 
 
+# keep the [B, M_chunk, N] distance slab under ~256M elements (~1GB fp32);
+# beyond that, centers are processed in serial chunks (blockwise-N story of
+# SURVEY.md §5: the full M×N matrix never materializes at 120k-pt scale)
+_SLAB_LIMIT = 1 << 28
+
+
 def ball_query(
     xyz: jnp.ndarray,
     centers: jnp.ndarray,
@@ -37,6 +43,23 @@ def ball_query(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """xyz [B,N,3], centers [B,M,3] -> (idx [B,M,K] int32, cnt [B,M] int32)."""
     B, N, _ = xyz.shape
+    M = centers.shape[1]
+    if B * M * N > _SLAB_LIMIT and M > 1:
+        n_chunks = -(-(B * M * N) // _SLAB_LIMIT)
+        mc = -(-M // n_chunks)
+        n_chunks = -(-M // mc)
+        pad = n_chunks * mc - M
+        c = jnp.pad(centers, ((0, 0), (0, pad), (0, 0)))
+        c = c.reshape(B, n_chunks, mc, 3).transpose(1, 0, 2, 3)
+
+        def one(chunk):  # [B, mc, 3]
+            return ball_query(xyz, chunk, radius, nsample, mask, exact)
+
+        idx, cnt = jax.lax.map(one, c)  # [nc, B, mc, K], [nc, B, mc]
+        idx = idx.transpose(1, 0, 2, 3).reshape(B, n_chunks * mc, nsample)
+        cnt = cnt.transpose(1, 0, 2).reshape(B, n_chunks * mc)
+        return idx[:, :M], cnt[:, :M]
+
     valid = valid_mask(mask, (B, N))
 
     d2 = pairwise_sqdist(centers, xyz)  # [B, M, N]

@@ -132,4 +132,9 @@ def evaluate(cfg, model, state, dataset, eval_step, parse, num_batches=None):
         m = c.compute_metrics()
         out[f"mAP@{t}"] = round(m["mAP"], 4)
         out[f"AR@{t}"] = round(m["AR"], 4)
+        out[f"per_class@{t}"] = {
+            k[: -len(" AP")]: round(v, 4)
+            for k, v in m.items()
+            if k.endswith(" AP")
+        }
     return out
