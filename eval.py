@@ -28,6 +28,8 @@ def main(argv):
     if cfg.ops_impl != "xla":
         ops.set_default_impl(cfg.ops_impl)
     ops.set_fast_grouping(cfg.ops_fast_grouping)
+    if not cfg.train.bf16_matmul:
+        jax.config.update("jax_default_matmul_precision", "highest")
     dataset = get_dataset(cfg)
     model = build_detector(cfg, dataset.mean_sizes)
 

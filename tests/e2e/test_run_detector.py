@@ -1,0 +1,41 @@
+"""run_detector CLI loop end-to-end on tiny synthetic config (covers the
+Batcher prefetch, checkpointing, epoch eval and JSONL logging)."""
+
+import json
+
+import pytest
+
+from tpu3dsad.config import Config, apply_overrides
+from tpu3dsad.train_detector import run_detector
+
+
+@pytest.mark.slow
+def test_run_detector_one_epoch(tmp_path, capsys):
+    cfg = apply_overrides(
+        Config(),
+        [
+            "model.name=detector",
+            "data.name=synthetic",
+            "data.num_points=512",
+            "data.max_boxes=8",
+            "model.num_classes=4",
+            "model.sa_npoints=(128,64,32,16)",
+            "model.sa_nsamples=(8,8,4,4)",
+            "model.sa_channels=((16,16),(16,32),(16,32),(16,32))",
+            "model.fp_channels=((32,32),(32,32))",
+            "model.seed_feat_dim=32",
+            "model.num_proposals=16",
+            "model.cluster_nsample=4",
+            "train.batch_size=8",
+            "train.num_epochs=1",
+            "train.eval_every=1",
+            "train.log_every=4",
+            f"train.ckpt_dir={tmp_path}/ckpt",
+        ],
+    )
+    run_detector(cfg)
+    out = capsys.readouterr().out.strip().splitlines()
+    records = [json.loads(l) for l in out if l.startswith("{")]
+    assert any("scenes_per_sec" in r for r in records)
+    assert any("mAP@0.25" in r for r in records)
+    assert (tmp_path / "ckpt").exists()

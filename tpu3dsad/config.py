@@ -72,7 +72,11 @@ class TrainConfig:
     profile_dir: str = ""
     mesh_shape: tuple[int, ...] = (-1,)  # data-parallel axis; -1 = all devices
     mesh_axes: tuple[str, ...] = ("data",)
-    bf16_matmul: bool = False
+    # TPU-native default: fp32 tensors, bf16 MXU passes for the MLP matmuls
+    # (distance/threshold math is pinned fp32 regardless — ops/xla/common.py).
+    # False forces full-fp32 matmuls everywhere (the AP-parity measurement
+    # mode, SURVEY.md §7 design invariants).
+    bf16_matmul: bool = True
 
 
 @dataclass(frozen=True)

@@ -52,7 +52,7 @@ def _fps_kernel(xyz_ref, dist0_ref, idx_ref, dist_ref, *, npoint: int, n: int):
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)  # [Bp, Np]
 
     dist_ref[:, :] = dist0_ref[:, :]
-    idx_ref[0, :] = jnp.zeros((bp,), jnp.int32)
+    idx_ref[0, 0, :] = jnp.zeros((bp,), jnp.int32)
 
     def pick(last):
         """Per-row coords of the selected lane. last [Bp, 1] int32."""
@@ -71,7 +71,7 @@ def _fps_kernel(xyz_ref, dist0_ref, idx_ref, dist_ref, *, npoint: int, n: int):
         nxt = jnp.min(
             jnp.where(dist == best, lane, jnp.int32(n)), axis=1, keepdims=True
         )  # ties → lowest index
-        idx_ref[pl.ds(i, 1), :] = nxt.reshape(1, bp).astype(jnp.int32)
+        idx_ref[0, pl.ds(i, 1), :] = nxt.reshape(1, bp).astype(jnp.int32)
         return nxt
 
     jax.lax.fori_loop(1, npoint, body, jnp.zeros((bp, 1), jnp.int32))
@@ -83,21 +83,22 @@ def _fps_call(xyz_t, dist0, npoint: int):
     VMEM-resident at a time, so large B doesn't blow the scoped-vmem limit."""
     _, Bp, Np = xyz_t.shape
     G = _SUBLANE  # rows per grid step
+    nG = Bp // G
     kernel = partial(_fps_kernel, npoint=npoint, n=Np)
     out = pl.pallas_call(
         kernel,
-        grid=(Bp // G,),
+        grid=(nG,),
         in_specs=[
             pl.BlockSpec((3, G, Np), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, Np), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (npoint, G), lambda g: (0, g), memory_space=pltpu.VMEM
+            (1, npoint, G), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((npoint, Bp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nG, npoint, G), jnp.int32),
         scratch_shapes=[pltpu.VMEM((G, Np), jnp.float32)],
     )(xyz_t, dist0)
-    return out.T  # [Bp, npoint]
+    return out.transpose(0, 2, 1).reshape(Bp, npoint)
 
 
 def _fps_kernel_flat(xyz_ref, dist0_ref, idx_ref, dist_ref, *, npoint: int):

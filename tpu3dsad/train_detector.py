@@ -71,15 +71,25 @@ def run_detector(cfg: Config):
         # SURVEY.md §5 tracing: capture a short window of real train steps
         jax.profiler.start_trace(cfg.train.profile_dir)
 
+    # background-thread prefetch: the host pipeline overlaps device steps
+    # (lineage DataLoader workers — SURVEY.md §3.1/§7 hard part #6)
+    from tpu3dsad.data import Batcher
+
+    batcher = Batcher(
+        lambda rng: dataset.train_batch(rng, cfg.train.batch_size),
+        seed=cfg.train.seed,
+        prefetch=2,
+    )
+    batches = iter(batcher)
+
     key = jax.random.key(cfg.train.seed + 1)
     step = start_step
     for epoch in range(start_step // steps_per_epoch, cfg.train.num_epochs):
         bn_m = train_lib.bn_momentum_at(cfg.train, epoch)
         t0 = time.time()
         for _ in range(steps_per_epoch):
-            batch = dataset.train_batch(rng_np, cfg.train.batch_size)
             batch = shard_batch(
-                {k: jnp.asarray(v) for k, v in batch.items()}, mesh
+                {k: jnp.asarray(v) for k, v in next(batches).items()}, mesh
             )
             key, sub = jax.random.split(key)
             state, metrics = train_step(state, batch, sub, bn_m)
@@ -106,6 +116,7 @@ def run_detector(cfg: Config):
         if (epoch + 1) % cfg.train.eval_every == 0:
             m = evaluate(cfg, model, state, dataset, eval_step, parse)
             print(json.dumps({"epoch": epoch, **m}))
+    batcher.close()
 
 
 def evaluate(cfg, model, state, dataset, eval_step, parse, num_batches=None):

@@ -28,6 +28,8 @@ def main(argv):
     if cfg.ops_impl != "xla":
         ops.set_default_impl(cfg.ops_impl)
     ops.set_fast_grouping(cfg.ops_fast_grouping)
+    if not cfg.train.bf16_matmul:
+        jax.config.update("jax_default_matmul_precision", "highest")
 
     if cfg.model.name == "classifier":
         run_classifier(cfg)
@@ -48,14 +50,24 @@ def run_classifier(cfg):
     from tpu3dsad.parallel import make_mesh, shard_batch
 
     mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
-    steps_per_epoch = 100
-    model = PointNet2Classifier(
-        num_classes=cfg.model.num_classes, dropout=cfg.model.dropout
-    )
     rng_np = np.random.default_rng(cfg.train.seed)
-    example = classification_batch(
-        rng_np, cfg.train.batch_size, cfg.data.num_points, cfg.model.num_classes
+    if cfg.data.name == "modelnet":
+        from tpu3dsad.data.modelnet import ModelNetClassificationDataset
+
+        ds = ModelNetClassificationDataset(cfg)
+        steps_per_epoch = ds.steps_per_epoch(cfg.train.batch_size)
+        num_classes = ds.num_classes
+        make_batch = lambda: ds.train_batch(rng_np, cfg.train.batch_size)
+    else:
+        steps_per_epoch = 100
+        num_classes = cfg.model.num_classes
+        make_batch = lambda: classification_batch(
+            rng_np, cfg.train.batch_size, cfg.data.num_points, num_classes
+        )
+    model = PointNet2Classifier(
+        num_classes=num_classes, dropout=cfg.model.dropout
     )
+    example = make_batch()
     example_j = {k: jnp.asarray(v) for k, v in example.items()}
 
     tx = train_lib.make_optimizer(cfg.train, steps_per_epoch)
@@ -77,10 +89,7 @@ def run_classifier(cfg):
         bn_m = train_lib.bn_momentum_at(cfg.train, epoch)
         t0 = time.time()
         for _ in range(steps_per_epoch):
-            batch = classification_batch(
-                rng_np, cfg.train.batch_size, cfg.data.num_points,
-                cfg.model.num_classes,
-            )
+            batch = make_batch()
             batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
             key, sub = jax.random.split(key)
             state, metrics = train_lib.classifier_train_step(
