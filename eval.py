@@ -30,6 +30,8 @@ def main(argv):
     ops.set_fast_grouping(cfg.ops_fast_grouping)
     if not cfg.train.bf16_matmul:
         jax.config.update("jax_default_matmul_precision", "highest")
+    if cfg.model.name == "classifier":
+        return eval_classifier(cfg)
     dataset = get_dataset(cfg)
     model = build_detector(cfg, dataset.mean_sizes)
 
@@ -56,6 +58,58 @@ def main(argv):
     )
     metrics = evaluate(cfg, model, state, dataset, eval_step, parse)
     print(json.dumps({"ckpt_step": step, **metrics}))
+
+
+def eval_classifier(cfg):
+    """Val accuracy sweep for the classification model (config #1)."""
+    from tpu3dsad.data.synthetic import classification_batch
+    from tpu3dsad.models.classifier import PointNet2Classifier
+
+    rng = np.random.default_rng(999)
+    if cfg.data.name == "modelnet":
+        from tpu3dsad.data.modelnet import ModelNetClassificationDataset
+
+        ds = ModelNetClassificationDataset(cfg)
+        num_classes = ds.num_classes
+        batches = list(ds.val_batches(rng, cfg.train.batch_size))
+    else:
+        num_classes = cfg.model.num_classes
+        batches = [
+            classification_batch(
+                rng, cfg.train.batch_size, cfg.data.num_points, num_classes
+            )
+            for _ in range(4)
+        ]
+
+    n = cfg.data.num_points
+    model = PointNet2Classifier(
+        num_classes=num_classes, dropout=cfg.model.dropout,
+        sa1_npoint=min(512, n // 2), sa2_npoint=min(128, n // 8),
+    )
+    ex = {k: jnp.asarray(v) for k, v in batches[0].items()}
+    tx = train_lib.make_optimizer(cfg.train, 100)
+    state = train_lib.create_state(
+        model,
+        lambda k: model.init(k, ex["points"], mask=ex["mask"], train=False),
+        tx,
+        jax.random.key(0),
+    )
+    state, step = train_lib.restore_checkpoint(cfg.train.ckpt_dir, state)
+    if step == 0:
+        print("WARNING: no checkpoint found — evaluating random weights",
+              file=sys.stderr)
+    accs, losses = [], []
+    for b in batches:
+        m = train_lib.classifier_eval_step(
+            model, state, {k: jnp.asarray(v) for k, v in b.items()}
+        )
+        accs.append(float(m["acc"]))
+        losses.append(float(m["loss"]))
+    print(json.dumps({
+        "ckpt_step": step,
+        "val_acc": round(float(np.mean(accs)), 4),
+        "val_loss": round(float(np.mean(losses)), 4),
+    }))
 
 
 if __name__ == "__main__":

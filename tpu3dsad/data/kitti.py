@@ -35,10 +35,15 @@ RANGE_MAX = np.array([70.4, 40.0, 1.0], np.float32)
 
 
 def host_fps(points: np.ndarray, m: int, seed_idx: int = 0) -> np.ndarray:
-    """Vectorized numpy FPS (same semantics as ops.furthest_point_sample)."""
+    """Host FPS (same semantics as ops.furthest_point_sample): the native
+    C++ library when buildable (~20× numpy at 120k pts), numpy loop else."""
     n = points.shape[0]
     if n <= m:
         return np.arange(n)
+    from tpu3dsad.utils import native
+
+    if native.available():
+        return native.fps(points, m)
     idx = np.zeros(m, np.int64)
     idx[0] = seed_idx
     dist = np.full(n, np.inf, np.float32)
@@ -72,6 +77,10 @@ def device_fps(points: np.ndarray, m: int, bucket: int = 4096) -> np.ndarray:
 
 
 def range_crop(points: np.ndarray) -> np.ndarray:
+    from tpu3dsad.utils import native
+
+    if native.available():
+        return native.range_crop(points, RANGE_MIN, RANGE_MAX)
     keep = np.all(
         (points[:, :3] >= RANGE_MIN) & (points[:, :3] <= RANGE_MAX), axis=-1
     )
@@ -130,12 +139,14 @@ class KittiDetectionDataset:
 
         votes = np.zeros((n_budget, 3), np.float32)
         vmask = np.zeros(n_budget, bool)
-        for g in range(len(centers)):
-            inside = points_in_oriented_box(
-                points[:n], centers[g], sizes[g], headings[g]
+        if len(centers):
+            from tpu3dsad.utils import native
+
+            boxes8 = np.concatenate(
+                [centers, sizes, headings[:, None],
+                 classes[:, None].astype(np.float32)], axis=1
             )
-            votes[:n][inside] = centers[g] - points[:n][inside]
-            vmask[:n] |= inside
+            votes[:n], vmask[:n] = native.vote_targets(points[:n], boxes8)
 
         max_boxes = self.cfg.data.max_boxes
         c, bm = pad_boxes(centers, max_boxes)

@@ -102,12 +102,14 @@ class SunRGBDDetectionDataset:
 
         votes = np.zeros((n_budget, 3), np.float32)
         vmask = np.zeros(n_budget, bool)
-        for g in range(len(centers)):
-            inside = points_in_oriented_box(
-                points, centers[g], sizes[g], headings[g]
+        if len(centers):
+            from tpu3dsad.utils import native
+
+            boxes8 = np.concatenate(
+                [centers, sizes, headings[:, None],
+                 classes[:, None].astype(np.float32)], axis=1
             )
-            votes[inside] = centers[g] - points[inside]
-            vmask |= inside
+            votes, vmask = native.vote_targets(points, boxes8)
 
         max_boxes = self.cfg.data.max_boxes
         c, bm = pad_boxes(centers, max_boxes)

@@ -64,8 +64,10 @@ def run_classifier(cfg):
         make_batch = lambda: classification_batch(
             rng_np, cfg.train.batch_size, cfg.data.num_points, num_classes
         )
+    n = cfg.data.num_points
     model = PointNet2Classifier(
-        num_classes=num_classes, dropout=cfg.model.dropout
+        num_classes=num_classes, dropout=cfg.model.dropout,
+        sa1_npoint=min(512, n // 2), sa2_npoint=min(128, n // 8),
     )
     example = make_batch()
     example_j = {k: jnp.asarray(v) for k, v in example.items()}
