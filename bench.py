@@ -61,7 +61,7 @@ def _detection_forward(num_points=20480, batch=8):
     mask = jnp.ones((batch, num_points), bool)
 
     if have_detector:
-        from tpu3dsad.config import Config, EvalConfig, ModelConfig
+        from tpu3dsad.config import EvalConfig, ModelConfig
         from tpu3dsad.eval.parse import parse_predictions
         from tpu3dsad.models.detector import SizeAdaptiveDetector
 

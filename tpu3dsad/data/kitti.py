@@ -23,7 +23,6 @@ import numpy as np
 
 from tpu3dsad.config import Config
 from tpu3dsad.data.pipeline import pad_boxes
-from tpu3dsad.data.sunrgbd import points_in_oriented_box
 
 KITTI_CLASS_NAMES = ("car", "pedestrian", "cyclist")
 KITTI_MEAN_SIZES = np.array(

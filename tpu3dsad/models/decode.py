@@ -9,6 +9,7 @@ Lineage: decode_scores in models/proposal_module.py + DatasetConfig.param2obb
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -73,11 +74,5 @@ def predicted_boxes(end_points, mean_sizes, num_heading_bins: int):
     size = jnp.maximum(size, 1e-4)
 
     sem = jnp.argmax(end_points["sem_cls_scores"], -1)
-    obj_prob = jax_softmax_last(end_points["objectness_scores"])[..., 1]
+    obj_prob = jax.nn.softmax(end_points["objectness_scores"], axis=-1)[..., 1]
     return center, size, heading, sem, obj_prob
-
-
-def jax_softmax_last(x):
-    import jax
-
-    return jax.nn.softmax(x, axis=-1)

@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import os
 
-import jax.numpy as jnp
-
 from tpu3dsad.ops import xla as _xla
 from tpu3dsad.ops.masked import masked_max, masked_mean
 from tpu3dsad.ops.xla.interpolate import interp_weights

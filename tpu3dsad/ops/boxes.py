@@ -57,15 +57,12 @@ def angle_to_bin(angle: jnp.ndarray, num_bins: int):
 def box_corners(center: jnp.ndarray, size: jnp.ndarray, heading: jnp.ndarray):
     """center [...,3], size [...,3], heading [...] -> corners [...,8,3]."""
     signs = jnp.asarray(_CORNER_SIGNS)
-    local = signs[None, :, :] if center.ndim == 1 else signs
-    # broadcast: [..., 8, 3]
-    ext = size[..., None, :] * signs
+    ext = size[..., None, :] * signs  # broadcast: [..., 8, 3]
     c, s = jnp.cos(heading), jnp.sin(heading)
     x = ext[..., 0] * c[..., None] - ext[..., 1] * s[..., None]
     y = ext[..., 0] * s[..., None] + ext[..., 1] * c[..., None]
     z = ext[..., 2]
     rot = jnp.stack([x, y, z], axis=-1)
-    del local
     return rot + center[..., None, :]
 
 

@@ -9,14 +9,12 @@ traced functions of the step counter, so no recompiles across the run.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
 from functools import partial
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
 from flax.training import train_state
 
 from tpu3dsad.config import Config, TrainConfig
