@@ -37,5 +37,6 @@ def test_run_detector_one_epoch(tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     records = [json.loads(l) for l in out if l.startswith("{")]
     assert any("scenes_per_sec" in r for r in records)
-    assert any("mAP@0.25" in r for r in records)
+    assert any("eval/mAP@0.25" in r for r in records)
+    assert any("per_class@0.25" in r for r in records)
     assert (tmp_path / "ckpt").exists()

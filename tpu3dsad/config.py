@@ -70,6 +70,7 @@ class TrainConfig:
     log_every: int = 10
     eval_every: int = 10  # epochs
     profile_dir: str = ""
+    tb_dir: str = ""  # optional TensorBoard scalars (lineage TB parity)
     mesh_shape: tuple[int, ...] = (-1,)  # data-parallel axis; -1 = all devices
     mesh_axes: tuple[str, ...] = ("data",)
     # TPU-native default: fp32 tensors, bf16 MXU passes for the MLP matmuls

@@ -67,6 +67,9 @@ def run_detector(cfg: Config):
         )
     )
 
+    from tpu3dsad.utils.metrics import MetricsLogger
+
+    logger = MetricsLogger(cfg.train.tb_dir)
     if cfg.train.profile_dir:
         # SURVEY.md §5 tracing: capture a short window of real train steps
         jax.profiler.start_trace(cfg.train.profile_dir)
@@ -96,7 +99,7 @@ def run_detector(cfg: Config):
             step += 1
             if step % cfg.train.log_every == 0:
                 m = {k: round(float(v), 4) for k, v in metrics.items()}
-                print(json.dumps({"step": step, "epoch": epoch, **m}))
+                logger.log(step, {"epoch": epoch, **m}, prefix="train/")
         dt = time.time() - t0
         print(
             json.dumps(
@@ -115,8 +118,13 @@ def run_detector(cfg: Config):
 
         if (epoch + 1) % cfg.train.eval_every == 0:
             m = evaluate(cfg, model, state, dataset, eval_step, parse)
-            print(json.dumps({"epoch": epoch, **m}))
+            flat = {k: v for k, v in m.items() if isinstance(v, (int, float))}
+            logger.log(step, {"epoch": epoch, **flat}, prefix="eval/")
+            per_cls = {k: v for k, v in m.items() if isinstance(v, dict)}
+            if per_cls:
+                print(json.dumps({"epoch": epoch, **per_cls}))
     batcher.close()
+    logger.flush()
 
 
 def evaluate(cfg, model, state, dataset, eval_step, parse, num_batches=None):
