@@ -182,6 +182,9 @@ def furthest_point_sample(
     xyz: jnp.ndarray, npoint: int, mask: jnp.ndarray | None = None
 ) -> jnp.ndarray:
     """xyz [B, N, 3] (+mask [B, N]) -> idx [B, npoint] int32."""
+    # indices are non-differentiable (lineage treats FPS picks as constants);
+    # without this, grad tracing reaches the pallas_call, which has no JVP
+    xyz = jax.lax.stop_gradient(xyz)
     B, N, _ = xyz.shape
     Np = _round_up(max(N, _LANE), _LANE)
     Bp = _round_up(B, _SUBLANE)
