@@ -156,6 +156,80 @@ def main():
     )
 
 
+def bench_config(n: int):
+    """Benchmark one BASELINE.json config (1..5); prints one JSON line.
+
+    #5 (the default headline) is `main()`; the others are secondary modes
+    for the per-config table in PARITY.md.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    if n == 1:  # PointNet++ SSG, 1024-pt cloud, CPU forward
+        jax.config.update("jax_platforms", "cpu")
+        from tpu3dsad.models.classifier import PointNet2Classifier
+
+        pts = jnp.asarray(rng.uniform(-1, 1, (1, 1024, 3)).astype(np.float32))
+        model = PointNet2Classifier(num_classes=40)
+        v = jax.jit(lambda k: model.init(k, pts, train=False))(jax.random.key(0))
+        f = jax.jit(lambda p: model.apply(v, p, train=False))
+        t = _timeit(lambda: np.asarray(f(pts)), iters=10)
+        print(json.dumps({"metric": "config1 classifier CPU fwd 1024pt b=1",
+                          "value": round(1 / t, 3), "unit": "clouds/sec"}))
+    elif n == 2:  # single SUN RGB-D scene latency, b=1
+        run, label, batch = _detection_forward(num_points=20480, batch=1)
+        t = _timeit(run, iters=10)
+        print(json.dumps({"metric": "config2 single-scene 20k-pt latency",
+                          "value": round(t * 1e3, 2), "unit": "ms"}))
+    elif n == 3:  # training-scale step
+        from tpu3dsad import ops, train_lib
+        from tpu3dsad.config import Config, ModelConfig, TrainConfig
+        from tpu3dsad.data.synthetic import detection_batch
+        from tpu3dsad.models.detector import SizeAdaptiveDetector
+
+        ops.set_fast_grouping(True)
+        if jax.devices()[0].platform != "cpu":
+            ops.set_default_impl("pallas")
+        cfg = Config(model=ModelConfig(num_classes=18),
+                     train=TrainConfig(batch_size=8))
+        b = detection_batch(rng, 8, 40960, 18, max_boxes=64)
+        bj = {k: jnp.asarray(v) for k, v in b.items()}
+        model = SizeAdaptiveDetector(cfg.model)
+        v = jax.jit(lambda k: model.init(
+            k, bj["points"], mask=bj["point_mask"], train=False))(jax.random.key(0))
+        tx = train_lib.make_optimizer(cfg.train, 100)
+        state = train_lib.TrainState.create(
+            apply_fn=model.apply, params=v["params"],
+            batch_stats=v["batch_stats"], tx=tx)
+        train_step, _ = train_lib.make_detector_steps(model, cfg)
+        state, m = train_step(state, bj, jax.random.key(1), 0.9)
+        np.asarray(m["loss"])
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            state, m = train_step(state, bj, jax.random.key(1), 0.9)
+            np.asarray(m["loss"])
+            ts.append(time.perf_counter() - t0)
+        t = float(np.median(ts))
+        print(json.dumps({"metric": "config3 train step 40960pt 18cls b=8",
+                          "value": round(8 / t, 2), "unit": "scenes/sec"}))
+    elif n == 4:  # KITTI preproc: crop + FPS→16384 at ~122k pts
+        from tpu3dsad.data.kitti import host_fps, range_crop
+
+        pc = rng.uniform(-10, 60, (122880, 4)).astype(np.float32)
+
+        def run():
+            keep = range_crop(pc)
+            host_fps(pc[keep][:, :3], min(16384, len(keep)))
+
+        t = _timeit(run, iters=3)
+        print(json.dumps({"metric": "config4 KITTI crop+FPS 122880->16384",
+                          "value": round(t * 1e3, 1), "unit": "ms/scene"}))
+    else:
+        main()
+
+
 def cpu_probe():
     # the axon sitecustomize force-registers the TPU in every process;
     # JAX_PLATFORMS=cpu alone is ignored (memory: axon-timing-gotcha)
@@ -174,5 +248,7 @@ def cpu_probe():
 if __name__ == "__main__":
     if "--cpu-probe" in sys.argv:
         cpu_probe()
+    elif "--config" in sys.argv:
+        bench_config(int(sys.argv[sys.argv.index("--config") + 1]))
     else:
         main()

@@ -62,7 +62,7 @@ def ball_query(
 
     valid = valid_mask(mask, (B, N))
 
-    d2 = pairwise_sqdist(centers, xyz)  # [B, M, N]
+    d2 = pairwise_sqdist(centers, xyz, exact=exact)  # [B, M, N]
     within = (d2 < radius * radius) & valid[:, None, :]
 
     point_rank = jax.lax.broadcasted_iota(jnp.int32, within.shape, 2)
