@@ -217,7 +217,15 @@ def bench_config(n: int):
     elif n == 4:  # KITTI preproc: crop + FPS→16384 at ~122k pts
         from tpu3dsad.data.kitti import host_fps, range_crop
 
-        pc = rng.uniform(-10, 60, (122880, 4)).astype(np.float32)
+        pc = np.stack(
+            [
+                rng.uniform(-5, 75, 122880),   # x: mostly in [0, 70.4]
+                rng.uniform(-45, 45, 122880),  # y: mostly in [-40, 40]
+                rng.uniform(-3.5, 1.5, 122880),
+                rng.random(122880),
+            ],
+            axis=1,
+        ).astype(np.float32)
 
         def run():
             keep = range_crop(pc)
