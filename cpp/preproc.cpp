@@ -17,10 +17,17 @@
 #include <limits>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 extern "C" {
 
 // Furthest point sampling. xyz: [n,3] row-major. out_idx: [m].
 // mask: [n] (0 = padded/invalid) or nullptr for all-valid.
+// The per-pick distance update/argmax parallelizes over point chunks with
+// per-thread maxima merged by (value desc, index asc) — identical result to
+// the serial scan (ties → lowest index).
 void fps(const float* xyz, const uint8_t* mask, int64_t n, int64_t m,
          int64_t* out_idx) {
   std::vector<float> dist(n);
@@ -35,16 +42,29 @@ void fps(const float* xyz, const uint8_t* mask, int64_t n, int64_t m,
                 lz = xyz[last * 3 + 2];
     float best = -inf;
     int64_t best_i = 0;
-    for (int64_t i = 0; i < n; ++i) {
-      const float dx = xyz[i * 3] - lx;
-      const float dy = xyz[i * 3 + 1] - ly;
-      const float dz = xyz[i * 3 + 2] - lz;
-      float d2 = dx * dx + dy * dy + dz * dz;
-      if (mask != nullptr && !mask[i]) d2 = -inf;
-      if (d2 < dist[i]) dist[i] = d2;
-      if (dist[i] > best) {  // strict '>' keeps the lowest index on ties
-        best = dist[i];
-        best_i = i;
+#pragma omp parallel
+    {
+      float tbest = -inf;
+      int64_t tbest_i = 0;
+#pragma omp for nowait
+      for (int64_t i = 0; i < n; ++i) {
+        const float dx = xyz[i * 3] - lx;
+        const float dy = xyz[i * 3 + 1] - ly;
+        const float dz = xyz[i * 3 + 2] - lz;
+        float d2 = dx * dx + dy * dy + dz * dz;
+        if (mask != nullptr && !mask[i]) d2 = -inf;
+        if (d2 < dist[i]) dist[i] = d2;
+        if (dist[i] > tbest) {  // strict '>': lowest index wins ties
+          tbest = dist[i];
+          tbest_i = i;
+        }
+      }
+#pragma omp critical
+      {
+        if (tbest > best || (tbest == best && tbest_i < best_i)) {
+          best = tbest;
+          best_i = tbest_i;
+        }
       }
     }
     last = best_i;

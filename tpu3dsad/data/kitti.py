@@ -122,13 +122,23 @@ class KittiDetectionDataset:
         headings = bboxes[:, 6].astype(np.float32)
         classes = bboxes[:, 7].astype(np.int32)
 
-        # crop → FPS → pad (config #4 pipeline)
+        # crop → FPS → pad (config #4 pipeline). FPS on the cropped cloud is
+        # deterministic, so the selected indices are cached next to the scene
+        # on first load (skipped silently on read-only roots).
         keep = range_crop(pc)
         pc = pc[keep]
         n_budget = self.cfg.data.num_points
         if pc.shape[0] > n_budget:
-            fps_fn = device_fps if self.cfg.data.device_preproc else host_fps
-            sel = fps_fn(pc[:, :3], n_budget)
+            cache = os.path.join(d, f"{idx}_fpscache_{n_budget}.npy")
+            if os.path.exists(cache):
+                sel = np.load(cache)
+            else:
+                fps_fn = device_fps if self.cfg.data.device_preproc else host_fps
+                sel = fps_fn(pc[:, :3], n_budget)
+                try:
+                    np.save(cache, sel)
+                except OSError:
+                    pass
             pc = pc[sel]
         n = pc.shape[0]
         points = np.zeros((n_budget, 3), np.float32)
