@@ -7,7 +7,11 @@ import pytest
 
 from tpu3dsad import ops
 from tpu3dsad.parallel.mesh import make_mesh
-from tpu3dsad.parallel.point_sharded import sharded_ball_query, sharded_knn
+from tpu3dsad.parallel.point_sharded import (
+    sharded_ball_query,
+    sharded_fps,
+    sharded_knn,
+)
 
 
 @pytest.fixture(scope="module")
@@ -37,6 +41,18 @@ def test_sharded_ball_query_empty_and_overflow(rng, mesh):
     got = sharded_ball_query(xyz, centers, R, K, mesh)
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+
+def test_sharded_fps_exact(rng, mesh):
+    B, N, M = 2, 512, 48
+    xyz = jnp.asarray(rng.uniform(-1, 1, (B, N, 3)).astype(np.float32))
+    mask = np.ones((B, N), bool)
+    mask[:, 450:] = False
+    mask_j = jnp.asarray(mask)
+
+    want = ops.furthest_point_sample(xyz, M, mask=mask_j)
+    got = sharded_fps(xyz, M, mesh, mask=mask_j)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 def test_sharded_knn_exact(rng, mesh):

@@ -96,6 +96,73 @@ def _merge_scan_order(all_idx, all_cnt, nsample):
     return idx.astype(jnp.int32), cnt
 
 
+def sharded_fps(
+    xyz: jnp.ndarray,
+    npoint: int,
+    mesh: Mesh,
+    mask: jnp.ndarray | None = None,
+    axis: str = "points",
+) -> jnp.ndarray:
+    """Exact FPS with N sharded over `axis` (docs/context_parallel.md).
+
+    Per pick: local min-dist update + local argmax, then a tiny all_gather
+    of p (value, global-index) pairs; ties resolve to the lowest GLOBAL
+    index, matching the single-device rule. The winning point's coordinates
+    are recovered with a masked-one-hot psum — no gather of the sharded
+    array. Returns idx [B, npoint] global, == ops.furthest_point_sample.
+    """
+    B, N, _ = xyz.shape
+    p = mesh.shape[axis]
+    shard_n = N // p
+    if mask is None:
+        mask = jnp.ones((B, N), bool)
+
+    def local(xyz_l, mask_l):
+        shard = jax.lax.axis_index(axis)
+        n_l = xyz_l.shape[1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, n_l), 1)
+        glane = lane + shard * shard_n
+
+        def coords_of(g):
+            """[B] global index -> [B,3] coords via one-hot psum."""
+            onehot = (glane == g[:, None]).astype(xyz_l.dtype)  # [B,n_l]
+            local_sum = jnp.einsum("bn,bnc->bc", onehot, xyz_l)
+            return jax.lax.psum(local_sum, axis)
+
+        dist0 = jnp.where(mask_l, jnp.inf, -jnp.inf)
+        idx0 = jnp.zeros((B, npoint), jnp.int32)  # seed: global index 0
+        c0 = coords_of(jnp.zeros((B,), jnp.int32))
+
+        def body(i, carry):
+            dist, lastc, idx = carry
+            d2 = jnp.sum((xyz_l - lastc[:, None, :]) ** 2, axis=-1)
+            dist = jnp.minimum(dist, jnp.where(mask_l, d2, -jnp.inf))
+            lbest = jnp.max(dist, axis=1)  # [B]
+            lidx = jnp.min(
+                jnp.where(dist == lbest[:, None], glane, jnp.int32(N)), axis=1
+            )
+            vals = jax.lax.all_gather(lbest, axis)  # [p, B]
+            gids = jax.lax.all_gather(lidx, axis)  # [p, B]
+            best = jnp.max(vals, axis=0)
+            g = jnp.min(
+                jnp.where(vals == best[None, :], gids, jnp.int32(N)), axis=0
+            ).astype(jnp.int32)
+            idx = jax.lax.dynamic_update_slice_in_dim(idx, g[:, None], i, 1)
+            return dist, coords_of(g), idx
+
+        _, _, idx = jax.lax.fori_loop(1, npoint, body, (dist0, c0, idx0))
+        return idx
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis)),
+        out_specs=P(),
+        check_vma=False,  # every shard computes the same global winners
+    )
+    return fn(xyz, mask)
+
+
 def sharded_knn(
     query: jnp.ndarray,
     support: jnp.ndarray,
