@@ -110,6 +110,28 @@ def test_kitti_loader_crop_and_fps(tmp_path, rng):
         assert (pts >= RANGE_MIN - 1e-5).all() and (pts <= RANGE_MAX + 1e-5).all()
 
 
+def test_sunrgbd_precomputed_votes(tmp_path, rng):
+    """When augmentation is off, <idx>_votes.npy is used verbatim."""
+    _write_oriented(tmp_path)
+    d = tmp_path / "train"
+    for i in range(3):
+        n = 800
+        votes = np.zeros((n, 4), np.float32)
+        votes[:100, 0] = 1.0
+        votes[:100, 1:] = 7.0  # sentinel offsets
+        np.save(d / f"{i:06d}_votes.npy", votes)
+    cfg = apply_overrides(
+        Config(),
+        ["data.name=sunrgbd", f"data.root={tmp_path}", "data.num_points=256",
+         "data.max_boxes=8", "data.augment=false"],
+    )
+    ds = get_dataset(cfg)
+    b = ds.train_batch(rng, 2)
+    vm = b["vote_mask"]
+    assert vm.any()
+    assert (b["vote_targets"][vm] == 7.0).all()
+
+
 def test_missing_root_raises():
     cfg = apply_overrides(
         Config(), ["data.name=scannet", "data.root=/nonexistent"]

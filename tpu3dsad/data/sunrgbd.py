@@ -6,8 +6,10 @@ contract (standard extracted layout), under `<root>/<split>/`:
   <idx>_pc.npy    float32 [N, 6]   xyz + rgb(0-1)  (upright depth coords, Z-up)
   <idx>_bbox.npy  float32 [G, 8]   cx cy cz dx dy dz heading cls
                                    (dx/dy/dz FULL extents; cls in 0..9)
-  <idx>_votes.npy float32 [N, 4]   optional: vote mask + precomputed offset;
-                                   if absent, votes = points-in-box → center
+  <idx>_votes.npy float32 [N, 4]   optional precomputed votes (mask, dx, dy,
+                                   dz) — used verbatim when augmentation is
+                                   off; otherwise votes are recomputed from
+                                   the (augmented) boxes via points-in-box
 
 10 classes, oriented boxes with heading about +Z.
 """
@@ -102,7 +104,12 @@ class SunRGBDDetectionDataset:
 
         votes = np.zeros((n_budget, 3), np.float32)
         vmask = np.zeros(n_budget, bool)
-        if len(centers):
+        votes_file = os.path.join(d, f"{idx}_votes.npy")
+        if (not (augment and self.cfg.data.augment)) and os.path.exists(votes_file):
+            pre = np.load(votes_file)[sel]  # [n_budget, 4]: mask, dxyz
+            vmask = pre[:, 0] > 0.5
+            votes = pre[:, 1:4].astype(np.float32)
+        elif len(centers):
             from tpu3dsad.utils import native
 
             boxes8 = np.concatenate(
