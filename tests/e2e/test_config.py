@@ -1,0 +1,58 @@
+"""Config system: override parsing, type coercion, error reporting."""
+
+import pytest
+
+from tpu3dsad.config import Config, apply_overrides, parse_cli
+
+
+def test_scalar_overrides():
+    cfg = apply_overrides(
+        Config(),
+        ["train.lr=0.01", "train.batch_size=4", "data.augment=false",
+         "model.name=classifier", "ops_impl=pallas"],
+    )
+    assert cfg.train.lr == 0.01
+    assert cfg.train.batch_size == 4
+    assert cfg.data.augment is False
+    assert cfg.model.name == "classifier"
+    assert cfg.ops_impl == "pallas"
+
+
+def test_tuple_overrides():
+    cfg = apply_overrides(
+        Config(),
+        ["model.sa_npoints=(128,64,32,16)", "model.cluster_radius_bank=(0.1,0.2)",
+         "train.lr_decay_steps=()"],
+    )
+    assert cfg.model.sa_npoints == (128, 64, 32, 16)
+    assert cfg.model.cluster_radius_bank == (0.1, 0.2)
+    assert cfg.train.lr_decay_steps == ()
+
+
+def test_nested_tuple_shapes_flatten():
+    # nested tuples come in flat; model code reads per-level channel lists
+    cfg = apply_overrides(Config(), ["model.num_proposals=64"])
+    assert cfg.model.num_proposals == 64
+
+
+def test_unknown_key_lists_valid():
+    with pytest.raises(ValueError, match="valid:"):
+        apply_overrides(Config(), ["train.nope=1"])
+    with pytest.raises(ValueError, match="valid:"):
+        apply_overrides(Config(), ["nonsection.x=1"])
+
+
+def test_malformed_override():
+    with pytest.raises(ValueError, match="key=value"):
+        apply_overrides(Config(), ["trainlr"])
+
+
+def test_parse_cli_ignores_non_kv():
+    cfg = parse_cli(["--verbose", "train.seed=7"])
+    assert cfg.train.seed == 7
+
+
+def test_immutability():
+    cfg = Config()
+    with pytest.raises(Exception):
+        cfg.train.lr = 0.5  # frozen dataclass
