@@ -74,10 +74,9 @@ void fps(const float* xyz, const uint8_t* mask, int64_t n, int64_t m,
 
 // Vote targets for oriented (Z-up) boxes.
 // points [n,3]; boxes [g,8]: cx cy cz dx dy dz heading cls.
-// votes [n,3] out (center - point for the FIRST containing box, scan order
-// over boxes — matching the python loaders' loop, where later boxes
-// overwrite: note loaders iterate boxes in order and later boxes win, so we
-// keep LAST containing box to match), vote_mask [n] out.
+// votes [n,3] out = center - point for the LAST containing box in array
+// order (the python loaders iterate boxes in order and later boxes
+// overwrite earlier ones); vote_mask [n] out.
 void vote_targets(const float* points, int64_t n, const float* boxes,
                   int64_t g, float* votes, uint8_t* vote_mask) {
   std::memset(votes, 0, sizeof(float) * n * 3);

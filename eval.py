@@ -72,6 +72,12 @@ def eval_classifier(cfg):
         ds = ModelNetClassificationDataset(cfg)
         num_classes = ds.num_classes
         batches = list(ds.val_batches(rng, cfg.train.batch_size))
+        if not batches:
+            raise SystemExit(
+                f"no full val batches: {len(ds.val_items or ds.train_items)} "
+                f"items < batch_size={cfg.train.batch_size} — lower "
+                "train.batch_size"
+            )
     else:
         num_classes = cfg.model.num_classes
         batches = [

@@ -129,14 +129,20 @@ class KittiDetectionDataset:
         pc = pc[keep]
         n_budget = self.cfg.data.num_points
         if pc.shape[0] > n_budget:
+            # cache row 0 stores the cropped count for invalidation: a
+            # re-extracted scene with different crop survivors must not
+            # reuse stale indices
             cache = os.path.join(d, f"{idx}_fpscache_{n_budget}.npy")
+            sel = None
             if os.path.exists(cache):
-                sel = np.load(cache)
-            else:
+                cached = np.load(cache)
+                if cached[0] == pc.shape[0]:
+                    sel = cached[1:]
+            if sel is None:
                 fps_fn = device_fps if self.cfg.data.device_preproc else host_fps
-                sel = fps_fn(pc[:, :3], n_budget)
+                sel = np.asarray(fps_fn(pc[:, :3], n_budget), np.int64)
                 try:
-                    np.save(cache, sel)
+                    np.save(cache, np.concatenate([[pc.shape[0]], sel]))
                 except OSError:
                     pass
             pc = pc[sel]

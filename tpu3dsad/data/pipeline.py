@@ -96,7 +96,11 @@ class Batcher:
             if self._num is not None and produced >= self._num:
                 self._q.put(None)
                 return
-            batch = self._make(self._rng)
+            try:
+                batch = self._make(self._rng)
+            except BaseException as e:  # surface loader failures, don't hang
+                self._q.put(e)
+                return
             produced += 1
             while not self._stop.is_set():
                 try:
@@ -110,6 +114,8 @@ class Batcher:
             item = self._q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item  # loader exception, re-raised on the main thread
             yield item
 
     def close(self):

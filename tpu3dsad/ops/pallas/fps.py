@@ -158,8 +158,8 @@ def _fps_call_flat(xyz_t, dist0, npoint: int):
     return out[:, 0]  # [npoint]
 
 
-# flat single-cloud layout bound: 4 planes of N f32 within ~12.5MB VMEM
-MAX_FLAT_ELEMS = 8 * 98304 * 4
+# flat single-cloud layout bound: 5 [S,L] f32 planes within ~15MB VMEM
+MAX_FLAT_ELEMS = 8 * 98304
 
 
 def _fps_flat_single(xyz, npoint, mask):
