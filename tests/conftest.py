@@ -24,6 +24,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/tpu3dsad-jax-cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+# SURVEY.md §5 sanitizer analogue: TPU3DSAD_DEBUG=1 turns on NaN trapping
+# and internal invariant checks for a hardened (slower) CI pass.
+if os.environ.get("TPU3DSAD_DEBUG") == "1":
+    jax.config.update("jax_debug_nans", True)
+    jax.config.update("jax_enable_checks", True)
+
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, jax.devices()
 

@@ -79,10 +79,18 @@ def _fps_kernel(xyz_ref, dist0_ref, idx_ref, dist_ref, *, npoint: int, n: int):
 
 @partial(jax.jit, static_argnames=("npoint",))
 def _fps_call(xyz_t, dist0, npoint: int):
-    """Grid over groups of _SUBLANE batch rows: only one group's planes are
-    VMEM-resident at a time, so large B doesn't blow the scoped-vmem limit."""
+    """Grid over groups of batch rows: only one group's planes are
+    VMEM-resident at a time, so large B doesn't blow the scoped-vmem limit.
+    The group is as large as VMEM allows — grid steps run sequentially on
+    the TensorCore, so fewer groups means fewer sequential loop iterations
+    (every row in a group advances together per pick)."""
     _, Bp, Np = xyz_t.shape
-    G = _SUBLANE  # rows per grid step
+    G = _SUBLANE
+    budget = _SUBLANE * MAX_KERNEL_N  # elems per [G, Np] plane set
+    for cand in range(Bp, _SUBLANE - 1, -_SUBLANE):
+        if Bp % cand == 0 and cand * Np <= budget:
+            G = cand
+            break
     nG = Bp // G
     kernel = partial(_fps_kernel, npoint=npoint, n=Np)
     out = pl.pallas_call(
