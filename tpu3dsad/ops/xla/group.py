@@ -53,17 +53,24 @@ def query_and_group(
     the mask marks slots < cnt; empty balls are all-False).
     """
     idx, cnt = ball_query(xyz, centers, radius, nsample, mask=mask, exact=exact)
-    grouped_xyz = group(xyz, idx) - centers[:, :, None, :]  # [B,M,K,3]
+
+    # ONE gather for xyz+features: TPU gathers are per-row latency-bound
+    # (measured: C=3 and C=64 cost ~the same), so concatenating per-point
+    # first halves the grouping cost vs two separate gathers.
+    src = xyz if features is None else jnp.concatenate([xyz, features], -1)
+    gathered = group(src, idx)  # [B, M, K, 3 + C]
+
+    grouped_xyz = gathered[..., :3] - centers[:, :, None, :]
     if normalize_xyz:
         grouped_xyz = grouped_xyz / radius
 
     slot = jnp.arange(nsample, dtype=jnp.int32)[None, None, :]
     group_mask = slot < cnt[:, :, None]
 
-    parts = []
-    if use_xyz:
-        parts.append(grouped_xyz)
-    if features is not None:
-        parts.append(group(features, idx))
-    grouped = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+    if features is None:
+        grouped = grouped_xyz
+    elif use_xyz:
+        grouped = jnp.concatenate([grouped_xyz, gathered[..., 3:]], axis=-1)
+    else:
+        grouped = gathered[..., 3:]
     return grouped, idx, group_mask
