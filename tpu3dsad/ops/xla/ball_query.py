@@ -12,11 +12,12 @@ ascending scan order, scores are distinct, misses score 0.
 
 Fast mode (exact=False): `lax.top_k` on TPU costs ~K passes over N (376 of
 the 394ms of a 2048×20480×K64 ball query, measured); `lax.approx_max_k`
-is the TPU-native single-pass selector. It may return a slightly different
-K-subset of the in-ball points than strict scan order — membership in the
-ball is still exact (scores stay thresholded), only WHICH K of the in-ball
-points are grouped can differ, which a max-pool over the group is insensitive
-to. Exact mode remains the parity/reference tier.
+is the TPU-native single-pass selector, applied to -d2 directly so the
+group holds the approximately NEAREST K in-ball points (no separate score
+tensor, indices from the selector). Membership is still radius-thresholded;
+only WHICH K in-ball points are grouped differs from the lineage's
+scan-order rule — a max-pool over the group is insensitive to that. Exact
+mode remains the parity/reference tier.
 """
 
 from __future__ import annotations
@@ -61,30 +62,40 @@ def ball_query(
         return idx[:, :M], cnt[:, :M]
 
     valid = valid_mask(mask, (B, N))
+    k_eff = min(nsample, N)  # nsample may exceed N (CUDA pads w/ first hit)
+    r2 = radius * radius
 
     d2 = pairwise_sqdist(centers, xyz, exact=exact)  # [B, M, N]
-    within = (d2 < radius * radius) & valid[:, None, :]
 
-    point_rank = jax.lax.broadcasted_iota(jnp.int32, within.shape, 2)
-    score = jnp.where(within, N - point_rank, 0)  # distinct positive on hits
-    # nsample may exceed N (CUDA pads with the first hit); top_k needs k <= N
-    k_eff = min(nsample, N)
     if exact:
+        within = (d2 < r2) & valid[:, None, :]
+        point_rank = jax.lax.broadcasted_iota(jnp.int32, within.shape, 2)
+        score = jnp.where(within, N - point_rank, 0)  # distinct + on hits
         top_vals, _ = jax.lax.top_k(score, k_eff)  # [B,M,k_eff], scan order
-    else:
-        top_vals, _ = jax.lax.approx_max_k(
-            score.astype(jnp.float32), k_eff, recall_target=0.95
-        )
-        top_vals = top_vals.astype(jnp.int32)
-    if k_eff < nsample:
-        pad = jnp.zeros(top_vals.shape[:-1] + (nsample - k_eff,), top_vals.dtype)
-        top_vals = jnp.concatenate([top_vals, pad], axis=-1)
-
-    hit = top_vals > 0
-    idx = jnp.where(hit, N - top_vals, 0).astype(jnp.int32)
-    idx = jnp.where(hit, idx, idx[..., :1])  # pad with first hit (0 if empty)
-    if exact:
+        if k_eff < nsample:
+            pad = jnp.zeros(
+                top_vals.shape[:-1] + (nsample - k_eff,), top_vals.dtype
+            )
+            top_vals = jnp.concatenate([top_vals, pad], axis=-1)
+        hit = top_vals > 0
+        idx = jnp.where(hit, N - top_vals, 0).astype(jnp.int32)
+        idx = jnp.where(hit, idx, idx[..., :1])  # pad w/ first hit (0 if ∅)
         cnt = jnp.minimum(jnp.sum(within, axis=-1), nsample).astype(jnp.int32)
-    else:
-        cnt = jnp.sum(hit, axis=-1).astype(jnp.int32)
+        return idx, cnt
+
+    # fast mode: single-pass approx NEAREST-k, thresholded to the ball —
+    # no separate score tensor (the where fuses into the selector's read),
+    # indices come straight from approx_max_k
+    d2m = jnp.where(valid[:, None, :], d2, jnp.inf)
+    neg, cand = jax.lax.approx_max_k(-d2m, k_eff, recall_target=0.95)
+    hit = -neg < r2  # in-ball among the approx nearest
+    if k_eff < nsample:
+        pad_h = jnp.zeros(hit.shape[:-1] + (nsample - k_eff,), bool)
+        hit = jnp.concatenate([hit, pad_h], axis=-1)
+        cand = jnp.concatenate(
+            [cand, jnp.zeros(pad_h.shape, cand.dtype)], axis=-1
+        )
+    idx = jnp.where(hit, cand, cand[..., :1]).astype(jnp.int32)
+    idx = jnp.where(hit[..., :1], idx, 0)  # empty ball → zeros
+    cnt = jnp.sum(hit, axis=-1).astype(jnp.int32)
     return idx, cnt
