@@ -147,3 +147,46 @@ def test_host_fps_matches_device_semantics(rng):
     pts = rng.standard_normal((300, 3)).astype(np.float32)
     np.testing.assert_array_equal(host_fps(pts, 50), fps_oracle(pts, 50))
     np.testing.assert_array_equal(device_fps(pts, 50), fps_oracle(pts, 50))
+
+
+def test_scannet_color_features_train_step(tmp_path, rng):
+    """use_color=true: loaders emit point_features and the detector train
+    step consumes them (lineage use_color flag)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3dsad import train_lib
+    from tpu3dsad.train_detector import build_detector
+
+    _write_scannet(tmp_path, scans=2, n=300)
+    cfg = apply_overrides(
+        Config(),
+        ["data.name=scannet", f"data.root={tmp_path}", "data.num_points=256",
+         "data.max_boxes=8", "data.use_color=true",
+         "model.sa_npoints=(64,32,16,8)", "model.sa_nsamples=(8,8,4,4)",
+         "model.sa_channels=((16,16),(16,32),(16,32),(16,32))",
+         "model.fp_channels=((32,32),(32,32))", "model.seed_feat_dim=32",
+         "model.num_proposals=16", "model.cluster_nsample=4",
+         "train.batch_size=2"],
+    )
+    ds = get_dataset(cfg)
+    b = ds.train_batch(rng, 2)
+    assert b["point_features"].shape == (2, 256, 3)
+    assert b["point_features"].max() <= 1.0
+
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    model = build_detector(cfg, ds.mean_sizes)
+    variables = jax.jit(
+        lambda k: model.init(
+            k, batch["points"], batch["point_features"],
+            mask=batch["point_mask"], train=False,
+        )
+    )(jax.random.key(0))
+    tx = train_lib.make_optimizer(cfg.train, 10)
+    state = train_lib.TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables["batch_stats"], tx=tx,
+    )
+    train_step, _ = train_lib.make_detector_steps(model, cfg)
+    state, metrics = train_step(state, batch, jax.random.key(1), 0.9)
+    assert np.isfinite(float(metrics["loss"]))

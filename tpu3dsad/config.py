@@ -36,7 +36,7 @@ class ModelConfig:
     # one chosen/blended per proposal from predicted size class
     cluster_radius_bank: tuple[float, ...] = (0.15, 0.3, 0.6)
     cluster_nsample: int = 16
-    input_feature_dim: int = 1  # height feature by default (lineage use_height)
+    append_height: bool = True  # lineage use_height: z-above-floor channel
     bn_momentum: float = 0.9
     dropout: float = 0.5
 

@@ -103,6 +103,11 @@ class ScanNetDetectionDataset:
             else np.arange(n)
         )
         points = verts[sel, :3].astype(np.float32)
+        colors = (
+            (verts[sel, 3:6] / 256.0).astype(np.float32)
+            if self.cfg.data.use_color and verts.shape[1] >= 6
+            else None
+        )
         ins = ins[sel]
         sem = sem[sel]
 
@@ -135,7 +140,9 @@ class ScanNetDetectionDataset:
         s, _ = pad_boxes(sizes, max_boxes)
         h, _ = pad_boxes(headings, max_boxes)
         k, _ = pad_boxes(classes, max_boxes)
+        out_extra = {} if colors is None else {"point_features": colors}
         return {
+            **out_extra,
             "points": points,
             "point_mask": np.ones(n_budget, bool),
             "vote_targets": votes,

@@ -95,6 +95,11 @@ class SunRGBDDetectionDataset:
             else np.arange(n)
         )
         points = pc[sel, :3].astype(np.float32)
+        colors = (
+            pc[sel, 3:6].astype(np.float32)
+            if self.cfg.data.use_color and pc.shape[1] >= 6
+            else None
+        )
 
         if augment and self.cfg.data.augment:
             # lineage SUN RGB-D: single flip + ±30° rotation + scale
@@ -123,7 +128,9 @@ class SunRGBDDetectionDataset:
         s, _ = pad_boxes(sizes, max_boxes)
         h, _ = pad_boxes(headings, max_boxes)
         k, _ = pad_boxes(classes, max_boxes)
+        out_extra = {} if colors is None else {"point_features": colors}
         return {
+            **out_extra,
             "points": points,
             "point_mask": np.ones(n_budget, bool),
             "vote_targets": votes,

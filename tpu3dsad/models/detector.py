@@ -34,8 +34,9 @@ class SizeAdaptiveDetector(nn.Module):
                  train: bool = False, bn_momentum=0.9):
         """points [B,N,3], features [B,N,C] -> end_points dict."""
         c = self.cfg
-        if features is None and c.input_feature_dim > 0:
-            # default height feature: z above per-scene floor (min z of valid)
+        parts = [] if features is None else [features]
+        if c.append_height:
+            # height feature: z above per-scene floor (min z of valid points)
             z = points[..., 2:3]
             floor = jnp.min(
                 jnp.where(
@@ -46,7 +47,11 @@ class SizeAdaptiveDetector(nn.Module):
                 axis=1,
                 keepdims=True,
             )
-            features = z - floor
+            parts.append(z - floor)
+        features = (
+            jnp.concatenate(parts, -1) if len(parts) > 1
+            else (parts[0] if parts else None)
+        )
 
         end_points = {}
         bb = PointNet2Backbone(c, name="backbone")(

@@ -24,12 +24,11 @@ _EXACT_GROUPING = os.environ.get("TPU3DSAD_EXACT_GROUPING", "1") == "1"
 
 
 def set_fast_grouping(fast: bool) -> None:
-    """Fast mode groups each center's approximately-NEAREST K in-ball
-    points via single-pass lax.approx_max_k (vs the lineage's exact
-    first-K-in-scan-order; >10× faster at ScanNet scale) and computes
-    pairwise distances with the TPU's native bf16 matmul. Only WHICH
-    in-ball points fill the K slots differs (nearest-biased rather than
-    scan-order), plus ~1%%-of-r boundary rounding — both invisible to the
+    """Fast mode selects ~first-K in-ball members with single-pass
+    lax.approx_max_k (>10× faster than exact top_k at ScanNet scale,
+    ~99.9%% member recall) and computes pairwise distances with the TPU's
+    native bf16 matmul. Only WHICH in-ball points fill the K slots can
+    differ, plus ~1%%-of-r boundary rounding — both invisible to the
     max-pooled group features."""
     global _EXACT_GROUPING
     _EXACT_GROUPING = not fast

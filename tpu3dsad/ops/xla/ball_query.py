@@ -12,12 +12,10 @@ ascending scan order, scores are distinct, misses score 0.
 
 Fast mode (exact=False): `lax.top_k` on TPU costs ~K passes over N (376 of
 the 394ms of a 2048×20480×K64 ball query, measured); `lax.approx_max_k`
-is the TPU-native single-pass selector, applied to -d2 directly so the
-group holds the approximately NEAREST K in-ball points (no separate score
-tensor, indices from the selector). Membership is still radius-thresholded;
-only WHICH K in-ball points are grouped differs from the lineage's
-scan-order rule — a max-pool over the group is insensitive to that. Exact
-mode remains the parity/reference tier.
+is the TPU-native single-pass selector, applied to the same scan-order
+score. Membership stays radius-thresholded; WHICH K of the in-ball points
+fill the slots can differ slightly (~99.9%% recall) — a max-pool over the
+group is insensitive to that. Exact mode remains the parity tier.
 """
 
 from __future__ import annotations
@@ -83,19 +81,20 @@ def ball_query(
         cnt = jnp.minimum(jnp.sum(within, axis=-1), nsample).astype(jnp.int32)
         return idx, cnt
 
-    # fast mode: single-pass approx NEAREST-k, thresholded to the ball —
-    # no separate score tensor (the where fuses into the selector's read),
-    # indices come straight from approx_max_k
-    d2m = jnp.where(valid[:, None, :], d2, jnp.inf)
-    neg, cand = jax.lax.approx_max_k(-d2m, k_eff, recall_target=0.95)
-    hit = -neg < r2  # in-ball among the approx nearest
+    # fast mode: single-pass approx selection of ~first-K in-ball members by
+    # the same scan-order score the exact tier uses. (An approx-NEAREST-K
+    # variant over -d2 was measured ~15% slower end-to-end than this
+    # positive-score form — see docs/kernel_notes.md.)
+    within = (d2 < r2) & valid[:, None, :]
+    point_rank = jax.lax.broadcasted_iota(jnp.int32, within.shape, 2)
+    score = jnp.where(within, (N - point_rank).astype(jnp.float32), 0.0)
+    top_vals, _ = jax.lax.approx_max_k(score, k_eff, recall_target=0.95)
+    top_vals = top_vals.astype(jnp.int32)
     if k_eff < nsample:
-        pad_h = jnp.zeros(hit.shape[:-1] + (nsample - k_eff,), bool)
-        hit = jnp.concatenate([hit, pad_h], axis=-1)
-        cand = jnp.concatenate(
-            [cand, jnp.zeros(pad_h.shape, cand.dtype)], axis=-1
-        )
-    idx = jnp.where(hit, cand, cand[..., :1]).astype(jnp.int32)
-    idx = jnp.where(hit[..., :1], idx, 0)  # empty ball → zeros
+        pad = jnp.zeros(top_vals.shape[:-1] + (nsample - k_eff,), top_vals.dtype)
+        top_vals = jnp.concatenate([top_vals, pad], axis=-1)
+    hit = top_vals > 0
+    idx = jnp.where(hit, N - top_vals, 0).astype(jnp.int32)
+    idx = jnp.where(hit, idx, idx[..., :1])  # pad with first hit (0 if ∅)
     cnt = jnp.sum(hit, axis=-1).astype(jnp.int32)
     return idx, cnt

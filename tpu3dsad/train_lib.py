@@ -128,6 +128,7 @@ def make_detector_steps(model, cfg: Config):
         end_points, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["points"],
+            batch.get("point_features"),
             mask=batch["point_mask"],
             train=True,
             bn_momentum=bn_momentum,
@@ -150,6 +151,7 @@ def make_detector_steps(model, cfg: Config):
         end_points = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["points"],
+            batch.get("point_features"),
             mask=batch["point_mask"],
             train=False,
         )
