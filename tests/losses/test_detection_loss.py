@@ -125,6 +125,24 @@ def test_wrong_semantics_moves_sem_loss(rng):
     assert float(m1["sem_cls_loss"]) > 1.0
 
 
+def test_vote_loss_multi_gt_takes_min(rng):
+    """[B,N,V,3] vote targets: loss uses the nearest of the V candidates."""
+    ep, batch = _scene(rng)
+    B, S, _ = np.asarray(ep["seed_xyz"]).shape
+    N = 64
+    vt = np.zeros((B, N, 2, 3), np.float32)
+    vt[:, :, 0, 0] = 5.0  # far candidate
+    vt[:, :, 1, 0] = 1.0  # near candidate -> min |err| = 1
+    vm = np.ones((B, N), bool)
+    batch = dict(batch)
+    batch["vote_targets"] = jnp.asarray(vt)
+    batch["vote_mask"] = jnp.asarray(vm)
+    ep = dict(ep)
+    ep["seed_inds"] = jnp.asarray(np.tile(np.arange(S, dtype=np.int32), (B, 1)))
+    v = losses.vote_loss(ep, batch)
+    np.testing.assert_allclose(float(v), 1.0, atol=1e-6)
+
+
 def test_vote_loss_golden(rng):
     ep, batch = _scene(rng)
     B, S, _ = ep["seed_xyz"].shape

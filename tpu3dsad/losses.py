@@ -38,22 +38,33 @@ def huber(x, delta: float = 1.0):
 
 
 def vote_loss(end_points, batch):
-    """L1 between predicted votes and GT (seed → owning-object center)."""
+    """L1 between predicted votes and GT (seed → owning-object center).
+
+    batch["vote_targets"] is [B,N,3] (single owner per point) or [B,N,V,3]
+    (lineage GT_VOTE_FACTOR: up to V candidate owners for points inside
+    overlapping objects — the loss takes the min distance over them).
+    """
     seed_inds = end_points["seed_inds"]  # [B,S] into input points
+    vt = batch["vote_targets"]
+    if vt.ndim == 3:
+        vt = vt[:, :, None, :]  # [B,N,1,3]
+    V = vt.shape[2]
     gt_offset = jnp.take_along_axis(
-        batch["vote_targets"], seed_inds[..., None], axis=1
-    )  # [B,S,3]
-    seed_votes_gt = end_points["seed_xyz"] + gt_offset
+        vt, seed_inds[..., None, None], axis=1
+    )  # [B,S,V,3]
+    seed_votes_gt = end_points["seed_xyz"][:, :, None, :] + gt_offset
     voting_mask = (
         jnp.take_along_axis(batch["vote_mask"], seed_inds, axis=1)
         & end_points["seed_mask"]
     )
     # vote_factor folded into S*F; tile GT across factor copies
     F = end_points["vote_xyz"].shape[1] // seed_inds.shape[1]
-    gt = jnp.repeat(seed_votes_gt, F, axis=1)
+    gt = jnp.repeat(seed_votes_gt, F, axis=1)  # [B,S*F,V,3]
     vm = jnp.repeat(voting_mask, F, axis=1)
-    dist = jnp.sum(jnp.abs(end_points["vote_xyz"] - gt), axis=-1)
-    return _masked_mean(dist, vm)
+    dist = jnp.sum(
+        jnp.abs(end_points["vote_xyz"][:, :, None, :] - gt), axis=-1
+    )  # [B,S*F,V]
+    return _masked_mean(jnp.min(dist, axis=-1), vm)
 
 
 def assign_proposals(end_points, batch):
