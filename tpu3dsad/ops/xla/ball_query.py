@@ -25,6 +25,12 @@ import jax.numpy as jnp
 
 from tpu3dsad.ops.xla.common import pairwise_sqdist, valid_mask
 
+import os
+
+# fast-mode selector recall: lower is faster (0.8 ≈ -30%% selector time at
+# b=32) and only drops members (never admits out-of-ball points); learning
+# quality validated at 0.9 (docs/experiments)
+_APPROX_RECALL = float(os.environ.get("TPU3DSAD_APPROX_RECALL", "0.9"))
 
 # keep the [B, M_chunk, N] distance slab under ~256M elements (~1GB fp32);
 # beyond that, centers are processed in serial chunks (blockwise-N story of
@@ -88,7 +94,9 @@ def ball_query(
     within = (d2 < r2) & valid[:, None, :]
     point_rank = jax.lax.broadcasted_iota(jnp.int32, within.shape, 2)
     score = jnp.where(within, (N - point_rank).astype(jnp.float32), 0.0)
-    top_vals, _ = jax.lax.approx_max_k(score, k_eff, recall_target=0.95)
+    top_vals, _ = jax.lax.approx_max_k(
+        score, k_eff, recall_target=_APPROX_RECALL
+    )
     top_vals = top_vals.astype(jnp.int32)
     if k_eff < nsample:
         pad = jnp.zeros(top_vals.shape[:-1] + (nsample - k_eff,), top_vals.dtype)
