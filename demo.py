@@ -41,7 +41,8 @@ def main(argv):
     state = train_lib.create_state(
         model,
         lambda k: model.init(
-            k, batch["points"], mask=batch["point_mask"], train=False
+            k, batch["points"], batch.get("point_features"),
+            mask=batch["point_mask"], train=False,
         ),
         tx,
         jax.random.key(0),
@@ -51,7 +52,8 @@ def main(argv):
     end_points = jax.jit(
         lambda s, b: model.apply(
             {"params": s.params, "batch_stats": s.batch_stats},
-            b["points"], mask=b["point_mask"], train=False,
+            b["points"], b.get("point_features"),
+            mask=b["point_mask"], train=False,
         )
     )(state, batch)
     parsed = parse_predictions(

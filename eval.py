@@ -41,7 +41,10 @@ def main(argv):
     tx = train_lib.make_optimizer(cfg.train, 100)
     state = train_lib.create_state(
         model,
-        lambda k: model.init(k, ex["points"], mask=ex["point_mask"], train=False),
+        lambda k: model.init(
+            k, ex["points"], ex.get("point_features"),
+            mask=ex["point_mask"], train=False,
+        ),
         tx,
         jax.random.key(0),
     )

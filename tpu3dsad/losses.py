@@ -48,7 +48,6 @@ def vote_loss(end_points, batch):
     vt = batch["vote_targets"]
     if vt.ndim == 3:
         vt = vt[:, :, None, :]  # [B,N,1,3]
-    V = vt.shape[2]
     gt_offset = jnp.take_along_axis(
         vt, seed_inds[..., None, None], axis=1
     )  # [B,S,V,3]

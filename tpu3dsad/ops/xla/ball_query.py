@@ -70,39 +70,29 @@ def ball_query(
     r2 = radius * radius
 
     d2 = pairwise_sqdist(centers, xyz, exact=exact)  # [B, M, N]
-
-    if exact:
-        within = (d2 < r2) & valid[:, None, :]
-        point_rank = jax.lax.broadcasted_iota(jnp.int32, within.shape, 2)
-        score = jnp.where(within, N - point_rank, 0)  # distinct + on hits
-        top_vals, _ = jax.lax.top_k(score, k_eff)  # [B,M,k_eff], scan order
-        if k_eff < nsample:
-            pad = jnp.zeros(
-                top_vals.shape[:-1] + (nsample - k_eff,), top_vals.dtype
-            )
-            top_vals = jnp.concatenate([top_vals, pad], axis=-1)
-        hit = top_vals > 0
-        idx = jnp.where(hit, N - top_vals, 0).astype(jnp.int32)
-        idx = jnp.where(hit, idx, idx[..., :1])  # pad w/ first hit (0 if ∅)
-        cnt = jnp.minimum(jnp.sum(within, axis=-1), nsample).astype(jnp.int32)
-        return idx, cnt
-
-    # fast mode: single-pass approx selection of ~first-K in-ball members by
-    # the same scan-order score the exact tier uses. (An approx-NEAREST-K
-    # variant over -d2 was measured ~15% slower end-to-end than this
-    # positive-score form — see docs/kernel_notes.md.)
     within = (d2 < r2) & valid[:, None, :]
     point_rank = jax.lax.broadcasted_iota(jnp.int32, within.shape, 2)
-    score = jnp.where(within, (N - point_rank).astype(jnp.float32), 0.0)
-    top_vals, _ = jax.lax.approx_max_k(
-        score, k_eff, recall_target=_APPROX_RECALL
-    )
-    top_vals = top_vals.astype(jnp.int32)
+    score = jnp.where(within, N - point_rank, 0)  # distinct positive on hits
+
+    if exact:
+        top_vals, _ = jax.lax.top_k(score, k_eff)  # [B,M,k_eff], scan order
+    else:
+        # single-pass approx selection by the same scan-order score. (An
+        # approx-NEAREST-K variant over -d2 measured ~15% slower end-to-end
+        # — see docs/kernel_notes.md.)
+        top_vals, _ = jax.lax.approx_max_k(
+            score.astype(jnp.float32), k_eff, recall_target=_APPROX_RECALL
+        )
+        top_vals = top_vals.astype(jnp.int32)
+
     if k_eff < nsample:
         pad = jnp.zeros(top_vals.shape[:-1] + (nsample - k_eff,), top_vals.dtype)
         top_vals = jnp.concatenate([top_vals, pad], axis=-1)
     hit = top_vals > 0
     idx = jnp.where(hit, N - top_vals, 0).astype(jnp.int32)
     idx = jnp.where(hit, idx, idx[..., :1])  # pad with first hit (0 if ∅)
-    cnt = jnp.sum(hit, axis=-1).astype(jnp.int32)
+    if exact:
+        cnt = jnp.minimum(jnp.sum(within, axis=-1), nsample).astype(jnp.int32)
+    else:
+        cnt = jnp.sum(hit, axis=-1).astype(jnp.int32)  # approx may drop hits
     return idx, cnt

@@ -49,7 +49,11 @@ def run_detector(cfg: Config):
     state = train_lib.create_state(
         model,
         lambda k: model.init(
-            k, example_j["points"], mask=example_j["point_mask"], train=False
+            k,
+            example_j["points"],
+            example_j.get("point_features"),
+            mask=example_j["point_mask"],
+            train=False,
         ),
         tx,
         jax.random.key(cfg.train.seed),
