@@ -43,6 +43,9 @@ def vote_loss(end_points, batch):
     batch["vote_targets"] is [B,N,3] (single owner per point) or [B,N,V,3]
     (lineage GT_VOTE_FACTOR: up to V candidate owners for points inside
     overlapping objects — the loss takes the min distance over them).
+    Loaders emitting [B,N,V,3] must fill unused candidate slots with a COPY
+    of the primary offset (the lineage convention), never zeros — a zero
+    slot would reward votes that stay at the seed.
     """
     seed_inds = end_points["seed_inds"]  # [B,S] into input points
     vt = batch["vote_targets"]
