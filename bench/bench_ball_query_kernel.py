@@ -1,0 +1,79 @@
+"""Ball-query kernel benchmark: Pallas exact vs XLA exact (top_k) vs XLA
+fast (approx_max_k) — the VERDICT r1 #1 measurement. Run on the real TPU.
+
+All paths are jitted (eager dispatch through the axon tunnel is ~10x
+overhead and not how the ops run in the model); completion is a host fetch
+(block_until_ready is a no-op under axon)."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+print("devices:", jax.devices())
+from functools import partial
+
+from tpu3dsad.ops.pallas.ball_query import ball_query as pallas_bq
+from tpu3dsad.ops.xla.ball_query import ball_query as xla_bq
+
+
+def bench(fn, *args, reps=5):
+    out = fn(*args)
+    _ = [np.asarray(o) for o in out]  # host fetch = real completion
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = [np.asarray(o) for o in out]
+        ts.append(time.perf_counter() - t0)
+    return np.median(ts), out
+
+
+rng = np.random.default_rng(0)
+for (B, N, M, K, r) in [(8, 20480, 2048, 64, 0.2), (32, 20480, 2048, 64, 0.2),
+                        (8, 2048, 1024, 32, 0.4)]:
+    xyz = jnp.asarray(rng.uniform(-4, 4, (B, N, 3)).astype(np.float32))
+    centers = jnp.asarray(np.asarray(xyz[:, :M]))
+
+    jp = jax.jit(partial(pallas_bq, radius=r, nsample=K))
+    jx = jax.jit(partial(xla_bq, radius=r, nsample=K, exact=True))
+    jf = jax.jit(partial(xla_bq, radius=r, nsample=K, exact=False))
+
+    # timing wrappers reduce outputs to scalars on device: fetching the
+    # full [B,M,K] idx through the axon tunnel costs ~50MB/s and would
+    # dominate (the model consumes idx on device; it never crosses)
+    def _sum(fn):
+        return jax.jit(lambda a, b: tuple(jnp.sum(o) for o in fn(a, b)))
+
+    tp, _ = bench(_sum(jp), xyz, centers)
+    tx, _ = bench(_sum(jx), xyz, centers)
+    tf, _ = bench(_sum(jf), xyz, centers)
+    pi, pc = jp(xyz, centers)
+    xi, xc = jx(xyz, centers)
+
+    pi, pc, xi, xc = (np.asarray(a) for a in (pi, pc, xi, xc))
+    n_idx = int((pi != xi).sum())
+    n_cnt = int((pc != xc).sum())
+    diag = ""
+    if n_idx or n_cnt:
+        # boundary diagnosis: mismatches should sit within float rounding
+        # of the radius (elementwise d2 in-kernel vs expanded-formula d2
+        # in the XLA tier)
+        bb, mm = np.nonzero(pc != xc) if n_cnt else np.nonzero(
+            (pi != xi).any(-1)
+        )
+        c = np.asarray(centers)[bb[0], mm[0]]
+        d2 = np.sum((np.asarray(xyz)[bb[0]] - c) ** 2, -1)
+        gap = float(np.min(np.abs(d2 - r * r)))
+        diag = f"  nearest-boundary-gap {gap:.2e} (r2={r * r:.3g})"
+    print(
+        f"B{B} N{N} M{M} K{K}: pallas_exact {tp * 1e3:.1f}ms  "
+        f"xla_exact {tx * 1e3:.1f}ms  xla_fast {tf * 1e3:.1f}ms  "
+        f"idx_mismatch {n_idx}/{pi.size}  cnt_mismatch {n_cnt}/{pc.size}"
+        f"{diag}",
+        flush=True,
+    )

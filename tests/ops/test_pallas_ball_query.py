@@ -1,0 +1,93 @@
+"""Pallas ball-query kernel parity vs oracle + XLA exact tier (interpret
+mode on CPU). The kernel is the exact-semantics fast path (VERDICT r1 #1):
+rank-scatter-by-matmul replaces top_k's K-pass selection."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu3dsad.ops.oracle import ball_query_oracle
+from tpu3dsad.ops.pallas.ball_query import ball_query as bq_pallas
+from tpu3dsad.ops.pallas.ball_query import supported
+from tpu3dsad.ops.xla.ball_query import ball_query as bq_xla
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def _mk(rng, B=2, N=256, M=32, spread=1.0):
+    xyz = rng.uniform(-spread, spread, (B, N, 3)).astype(np.float32)
+    centers = xyz[:, :M] + rng.normal(0, 0.05, (B, M, 3)).astype(np.float32)
+    return jnp.asarray(xyz), jnp.asarray(centers)
+
+
+def test_kernel_matches_oracle(rng):
+    xyz, centers = _mk(rng)
+    assert supported(xyz, centers, 16)
+    idx, cnt = bq_pallas(xyz, centers, 0.5, 16)
+    idx, cnt = np.asarray(idx), np.asarray(cnt)
+    for b in range(2):
+        oi, oc = ball_query_oracle(np.asarray(xyz)[b], np.asarray(centers)[b],
+                                   0.5, 16)
+        np.testing.assert_array_equal(idx[b], oi)
+        np.testing.assert_array_equal(cnt[b], oc)
+
+
+def test_kernel_matches_xla_masked(rng):
+    xyz, centers = _mk(rng)
+    mask = np.ones((2, 256), bool)
+    mask[:, 190:] = False
+    m = jnp.asarray(mask)
+    pi, pc = bq_pallas(xyz, centers, 0.4, 16, mask=m)
+    xi, xc = bq_xla(xyz, centers, 0.4, 16, mask=m)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+    np.testing.assert_array_equal(np.asarray(pc), np.asarray(xc))
+
+
+def test_kernel_multi_tile_rank_carry(rng):
+    """Counts must carry across N-tiles: big ball that spans several tiles
+    (K smaller than the per-tile hit count exercises the rank<K cut)."""
+    xyz, centers = _mk(rng, N=512, M=8, spread=0.3)
+    pi, pc = bq_pallas(xyz, centers, 0.8, 32)
+    xi, xc = bq_xla(xyz, centers, 0.8, 32)
+    assert np.asarray(pc).min() == 32  # dense cloud: every ball saturates
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+    np.testing.assert_array_equal(np.asarray(pc), np.asarray(xc))
+
+
+def test_kernel_empty_balls(rng):
+    xyz, centers = _mk(rng)
+    idx, cnt = bq_pallas(xyz, centers + 50.0, 0.3, 16)
+    assert (np.asarray(idx) == 0).all()
+    assert (np.asarray(cnt) == 0).all()
+
+
+def test_query_and_group_pallas_matches_xla(rng):
+    from tpu3dsad.ops.pallas.ball_query import query_and_group as qg_pallas
+    from tpu3dsad.ops.xla.group import query_and_group as qg_xla
+
+    xyz, centers = _mk(rng)
+    feats = jnp.asarray(
+        rng.standard_normal((2, 256, 8)).astype(np.float32)
+    )
+    gp, ip, mp = qg_pallas(xyz, centers, 0.4, 16, features=feats,
+                           normalize_xyz=True)
+    gx, ix, mx = qg_xla(xyz, centers, 0.4, 16, features=feats,
+                        normalize_xyz=True)
+    np.testing.assert_array_equal(np.asarray(ip), np.asarray(ix))
+    np.testing.assert_array_equal(np.asarray(mp), np.asarray(mx))
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-6)
+
+
+def test_unsupported_shapes_fall_back(rng):
+    # K not a multiple of 8 and ragged N both route to the XLA tier
+    xyz = jnp.asarray(rng.uniform(-1, 1, (1, 250, 3)).astype(np.float32))
+    centers = xyz[:, :10]
+    assert not supported(xyz, centers, 12)
+    pi, pc = bq_pallas(xyz, centers, 0.4, 12)
+    xi, xc = bq_xla(xyz, centers, 0.4, 12)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))

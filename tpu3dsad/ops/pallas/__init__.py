@@ -6,14 +6,13 @@ handles well). The kernels here target the genuinely XLA-hostile pieces:
 FPS's sequential argmax loop first (SURVEY.md §7 hard part #1).
 """
 
+from tpu3dsad.ops.pallas.ball_query import ball_query, query_and_group
 from tpu3dsad.ops.pallas.fps import furthest_point_sample
 from tpu3dsad.ops.xla import (  # re-export fallbacks
-    ball_query,
     gather,
     group,
     interp_weights,
     knn,
-    query_and_group,
     three_interpolate,
     three_nn,
 )

@@ -1,0 +1,223 @@
+"""Exact ball query as a Pallas TPU kernel — first-K scan-order selection
+WITHOUT the K-pass cost that makes `lax.top_k` slow.
+
+Lineage semantics (SURVEY.md §2.1, ball_query_gpu.cu): for each center, the
+first K points in index order 0..N-1 with d² < r²; remaining slots replicate
+the first hit; empty ball → all-zero indices. The XLA exact tier implements
+this with `lax.top_k` over a scan-order score, which costs ~K passes over N
+(376 of the 394ms of a b=8 SA1-scale exact grouping — docs/kernel_notes.md).
+
+The kernel removes the K-pass cost with rank-scatter-by-matmul:
+
+  1. d² tile [Mt,Nt] elementwise on the VPU (fp32, same summation order as
+     the numpy oracle).
+  2. Each in-ball point's SLOT is its in-ball rank = running count (carried
+     across N-tiles in VMEM scratch) + exclusive prefix count within the
+     tile. The prefix sum is a triangular matmul on the MXU
+     (within_bf16 @ U, fp32 accumulate — exact for counts ≤ Nt).
+  3. Scatter idx+1 into its slot via a two-level one-hot decomposition
+     rank = 8·q + r: one 8-wide one-hot over r (built once per tile,
+     [Mt,8,Nt]) and a K/8-iteration q loop whose 8-wide reductions are
+     batched mat-vecs on the MXU. VPU cost is ~(16 + 2·K/8) ops/element
+     instead of top_k's ~6·K — the selection leaves the VPU.
+
+Each (center-tile, point-tile) is visited once; the output block stays
+resident in VMEM across the (innermost) N-tile sweep and accumulates
+slot values; at most one tile contributes to any slot, so the accumulation
+is exact. Post-processing (pad-with-first-hit, counts) is cheap XLA.
+
+Measured (TPU v5e, docs/kernel_notes.md §ball-query-kernel): see the
+benchmark table committed with this kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu3dsad.ops.xla.common import valid_mask
+
+_R_WIDTH = 8  # r-level of the two-level one-hot; K must be a multiple
+
+
+def _kernel(c_ref, xT_ref, u_ref, out_ref, run_ref, *, r2: float, k: int,
+            n_total: int):
+    """One (batch, center-tile, point-tile) grid step.
+
+    c_ref [1,Mt,3] centers, xT_ref [1,3,Nt] points (transposed), u_ref
+    [Nt,Nt] upper-triangular ones (incl. diagonal), out_ref [1,Mt,K] slot
+    accumulator (idx+1, 0=empty), run_ref [Mt,1] running in-ball count.
+    """
+    ni = pl.program_id(2)
+    nt = xT_ref.shape[-1]
+    mt = c_ref.shape[1]
+
+    @pl.when(ni == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        run_ref[...] = jnp.zeros_like(run_ref)
+
+    c = c_ref[0]  # [Mt, 3]
+    x = xT_ref[0]  # [3, Nt]
+    # same per-point summation order as the numpy oracle: dx²+dy²+dz²
+    d2 = (
+        (c[:, 0:1] - x[0:1, :]) ** 2
+        + (c[:, 1:2] - x[1:2, :]) ** 2
+        + (c[:, 2:3] - x[2:3, :]) ** 2
+    )  # [Mt, Nt] fp32
+    within = d2 < r2
+    wf = within.astype(jnp.float32)
+
+    # exclusive in-ball rank = carried count + (inclusive prefix - self).
+    # 0/1 bf16 matmul with fp32 accumulation is exact for counts ≤ Nt.
+    incl = jnp.dot(
+        within.astype(jnp.bfloat16), u_ref[...],
+        preferred_element_type=jnp.float32,
+    )
+    rank = run_ref[...] + incl - wf  # [Mt, Nt]
+
+    ok = within & (rank < k)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (mt, nt), 1).astype(jnp.float32)
+    val = jnp.where(ok, lane + (ni * nt + 1.0), 0.0)  # global idx + 1
+
+    q_arr = jnp.floor(rank * (1.0 / _R_WIDTH))  # exact: power-of-2 scale
+    r_arr = rank - _R_WIDTH * q_arr
+    r_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (mt, _R_WIDTH, nt), 1
+    ).astype(jnp.float32)
+    oh_r = (r_arr[:, None, :] == r_iota).astype(jnp.float32)  # [Mt,8,Nt]
+
+    # K/8 batched mat-vecs on the MXU; at most one n contributes per (m, r)
+    # so the sums are exact. (A single fused [nq,Nt]@[Nt,8] dot_general was
+    # tried; Mosaic rejects the needed 3D lane reshape/slice patterns.)
+    for q in range(k // _R_WIDTH):
+        vq = jnp.where(q_arr == q, val, 0.0)  # [Mt, Nt]
+        contrib = jax.lax.dot_general(
+            oh_r, vq,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [Mt, 8]
+        sl = slice(q * _R_WIDTH, (q + 1) * _R_WIDTH)
+        out_ref[0, :, sl] += contrib
+
+    run_ref[...] += jnp.sum(wf, axis=1, keepdims=True)
+
+
+def _pick_tiles(m: int, n: int) -> tuple[int, int] | None:
+    """Largest (Mt, Nt) dividing (M, N) within the VMEM budget, or None."""
+    for mt in (256, 128, 64, 32, 16, 8):
+        if m % mt:
+            continue
+        for nt in (1024, 512, 256, 128):
+            if n % nt:
+                continue
+            # dominant buffers: oh_r fp32 [Mt,8,Nt], U bf16 [Nt,Nt],
+            # ~8 fp32 [Mt,Nt] temporaries
+            vmem = mt * 8 * nt * 4 + nt * nt * 2 + 8 * mt * nt * 4
+            if vmem <= 10 * 1024 * 1024:
+                return mt, nt
+        return None
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "nsample", "interpret"))
+def _ball_query_kernel(xyz, centers, radius: float, nsample: int,
+                       interpret: bool = False):
+    B, N, _ = xyz.shape
+    M = centers.shape[1]
+    tiles = _pick_tiles(M, N)
+    assert tiles is not None, "caller must check supported()"
+    Mt, Nt = tiles
+
+    xT = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # [B, 3, N]
+    u = jnp.triu(jnp.ones((Nt, Nt), jnp.bfloat16))  # n ≤ j
+
+    grid = (B, M // Mt, N // Nt)
+    slots = pl.pallas_call(
+        functools.partial(
+            _kernel, r2=float(radius) * float(radius), k=nsample, n_total=N
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Mt, 3), lambda b, mi, ni: (b, mi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Nt), lambda b, mi, ni: (b, 0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Nt, Nt), lambda b, mi, ni: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Mt, nsample), lambda b, mi, ni: (b, mi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M, nsample), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Mt, 1), jnp.float32)],
+        interpret=interpret,
+    )(centers.astype(jnp.float32), xT, u)
+
+    hit = slots > 0
+    idx = jnp.where(hit, slots - 1.0, 0.0).astype(jnp.int32)
+    idx = jnp.where(hit, idx, idx[..., :1])  # pad with first hit (0 if ∅)
+    cnt = jnp.sum(hit, axis=-1).astype(jnp.int32)  # = min(total_within, K)
+    return idx, cnt
+
+
+def supported(xyz, centers, nsample: int) -> bool:
+    B, N, _ = xyz.shape
+    M = centers.shape[1]
+    return (
+        nsample % _R_WIDTH == 0
+        and nsample <= N
+        and _pick_tiles(M, N) is not None
+    )
+
+
+def ball_query(xyz, centers, radius, nsample, *, mask=None, exact=True,
+               interpret=False):
+    """Pallas-tier ball query. Exact scan-order semantics; same signature as
+    the XLA tier. Falls back to XLA for unsupported shapes or fast mode
+    (the approx path is already at the approx_max_k floor —
+    docs/kernel_notes.md)."""
+    if not exact or not supported(xyz, centers, nsample):
+        from tpu3dsad.ops.xla.ball_query import ball_query as xla_bq
+
+        return xla_bq(xyz, centers, radius, nsample, mask=mask, exact=exact)
+    if mask is not None:
+        # invalid points are pushed out of every ball; (1e9)² stays finite
+        far = jnp.asarray(1e9, xyz.dtype)
+        xyz = jnp.where(valid_mask(mask, xyz.shape[:2])[..., None], xyz, far)
+    # indices/counts are piecewise-constant in the coordinates (zero grad
+    # a.e.), and pallas_call has no autodiff rule — cut the tape here, like
+    # the XLA tier's int top_k path does implicitly. Gradients flow through
+    # the downstream gather, exactly the lineage ball_query semantics.
+    xyz = jax.lax.stop_gradient(xyz)
+    centers = jax.lax.stop_gradient(centers)
+    return _ball_query_kernel(xyz, centers, float(radius), int(nsample),
+                              interpret=interpret)
+
+
+def query_and_group(xyz, centers, radius, nsample, features=None, mask=None,
+                    use_xyz=True, normalize_xyz=False, exact=True):
+    """Fused query-and-group, Pallas selection + XLA single-gather epilogue
+    (gathers are per-row latency-bound and already optimal in XLA —
+    docs/kernel_notes.md)."""
+    from tpu3dsad.ops.xla.group import group
+
+    idx, cnt = ball_query(xyz, centers, radius, nsample, mask=mask,
+                          exact=exact)
+    src = xyz if features is None else jnp.concatenate([xyz, features], -1)
+    gathered = group(src, idx)
+    grouped_xyz = gathered[..., :3] - centers[:, :, None, :]
+    if normalize_xyz:
+        grouped_xyz = grouped_xyz / radius
+    slot = jnp.arange(nsample, dtype=jnp.int32)[None, None, :]
+    group_mask = slot < cnt[:, :, None]
+    if features is None:
+        grouped = grouped_xyz
+    elif use_xyz:
+        grouped = jnp.concatenate([grouped_xyz, gathered[..., 3:]], axis=-1)
+    else:
+        grouped = gathered[..., 3:]
+    return grouped, idx, group_mask
