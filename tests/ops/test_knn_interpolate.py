@@ -73,3 +73,47 @@ def test_three_interpolate_grad_is_scatter_add(rng):
         for k in range(3):
             want[0, int(idx[0, m, k])] += float(w[0, m, k])
     np.testing.assert_allclose(np.asarray(g), want, atol=1e-5)
+
+
+def test_knn_chunked_matches_direct(rng, monkeypatch):
+    """VERDICT r1 #5: blockwise kNN (support slabs + running best-k merge)
+    must equal the direct path exactly, including lower-index ties and
+    masking, with a slab limit small enough to force several chunks."""
+    import importlib
+
+    knn_mod = importlib.import_module("tpu3dsad.ops.xla.knn")
+    B, M, N, K = 2, 64, 700, 5
+    q = rng.uniform(-2, 2, (B, M, 3)).astype(np.float32)
+    s = rng.uniform(-2, 2, (B, N, 3)).astype(np.float32)
+    s[:, 100:108] = s[:, 0:8]  # exact duplicates -> distance ties
+    mask = np.ones((B, N), bool)
+    mask[:, 650:] = False
+
+    d_ref, i_ref = knn_mod.knn(
+        jnp.asarray(q), jnp.asarray(s), K, support_mask=jnp.asarray(mask)
+    )
+    monkeypatch.setattr(knn_mod, "_SLAB_LIMIT", 2 * 64 * 128)  # ~6 chunks
+    d_chk, i_chk = knn_mod.knn(
+        jnp.asarray(q), jnp.asarray(s), K, support_mask=jnp.asarray(mask)
+    )
+    np.testing.assert_array_equal(np.asarray(i_chk), np.asarray(i_ref))
+    # distances may differ by matmul-tiling ulps; indices are exact above
+    np.testing.assert_allclose(np.asarray(d_chk), np.asarray(d_ref),
+                               atol=1e-5)
+
+
+def test_knn_chunked_oracle(rng, monkeypatch):
+    import importlib
+
+    from tpu3dsad.ops.oracle import knn_oracle
+
+    knn_mod = importlib.import_module("tpu3dsad.ops.xla.knn")
+
+    B, M, N, K = 1, 32, 500, 3
+    q = rng.uniform(-2, 2, (B, M, 3)).astype(np.float32)
+    s = rng.uniform(-2, 2, (B, N, 3)).astype(np.float32)
+    monkeypatch.setattr(knn_mod, "_SLAB_LIMIT", 32 * 128)
+    d, i = knn_mod.knn(jnp.asarray(q), jnp.asarray(s), K)
+    od, oi = knn_oracle(q[0], s[0], K)
+    np.testing.assert_array_equal(np.asarray(i)[0], oi)
+    np.testing.assert_allclose(np.asarray(d)[0], od, rtol=1e-5, atol=1e-6)
