@@ -159,3 +159,27 @@ def test_vote_loss_golden(rng):
     # predicted votes = seeds (zero offset) -> |error| = 1 per voting seed
     v = losses.vote_loss(ep, batch)
     np.testing.assert_allclose(float(v), 1.0, atol=1e-6)
+
+
+def test_vote_loss_factor_min_over_copies(rng):
+    """vote_factor F>1: only the BEST of the F vote copies per seed is
+    penalized (lineage compute_vote_loss min-over-votes; ADVICE r1)."""
+    ep, batch = _scene(rng)
+    B, S, _ = np.asarray(ep["seed_xyz"]).shape
+    vt = np.zeros((B, 64, 3), np.float32)
+    vt[:, :, 0] = 1.0  # GT offset +1 in x for every point
+    vm = np.ones((B, 64), bool)
+    batch = dict(batch)
+    batch["vote_targets"] = jnp.asarray(vt)
+    batch["vote_mask"] = jnp.asarray(vm)
+    ep = dict(ep)
+    ep["seed_inds"] = jnp.asarray(np.tile(np.arange(S, dtype=np.int32), (B, 1)))
+    # two vote copies per seed, F innermost (VotingModule layout):
+    # copy 0 perfect (at GT center), copy 1 off by 3 -> min => loss 0
+    votes = np.zeros((B, S, 2, 3), np.float32)
+    votes[:, :, 0, 0] = 1.0   # perfect
+    votes[:, :, 1, 0] = -2.0  # |(-2) - 1| = 3 ignored by the min
+    ep["vote_xyz"] = jnp.asarray(votes.reshape(B, S * 2, 3))
+    v = losses.vote_loss(ep, batch)
+    np.testing.assert_allclose(float(v), 0.0, atol=1e-6)
+    # averaging instead of min would give 1.5

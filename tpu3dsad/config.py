@@ -36,6 +36,10 @@ class ModelConfig:
     # one chosen/blended per proposal from predicted size class
     cluster_radius_bank: tuple[float, ...] = (0.15, 0.3, 0.6)
     cluster_nsample: int = 16
+    # 'adaptive' = 3DSAD radius bank; 'lineage' = fixed-radius VoteNet head
+    # (full lineage checkpoints import into this mode for box-level parity)
+    proposal_mode: str = "adaptive"
+    proposal_radius: float = 0.3  # lineage ProposalModule r
     append_height: bool = True  # lineage use_height: z-above-floor channel
     bn_momentum: float = 0.9
     dropout: float = 0.5
@@ -52,6 +56,15 @@ class DataConfig:
     use_color: bool = False
     # run large-cloud preprocessing FPS (KITTI crop→budget) on the TPU
     device_preproc: bool = False
+    # TPU-side pipeline (1-core host / slow link — SURVEY §7 hard part #6):
+    # device_augment moves flip/rot/scale into the jitted train step (host
+    # loads canonical scenes only); device_synth generates synthetic batches
+    # entirely on device (zero host work / link bytes per step)
+    device_augment: bool = False
+    device_synth: bool = False
+    aug_rot_range: float = 0.17453293  # ±rad; lineage ScanNet π/18
+    aug_scale_min: float = 0.9
+    aug_scale_max: float = 1.1
 
 
 @dataclass(frozen=True)
@@ -63,7 +76,8 @@ class TrainConfig:
     lr_decay_rates: tuple[float, ...] = (0.1, 0.1, 0.1)
     weight_decay: float = 0.0
     bn_momentum_init: float = 0.5
-    bn_momentum_max: float = 0.99  # lineage: bn decay steps like lr
+    bn_momentum_max: float = 0.99  # cap on the flax running-average weight
+    bn_decay_epochs: int = 20  # lineage BN_DECAY_STEP: halve torch-m every N
     grad_clip: float = 0.0
     seed: int = 0
     ckpt_dir: str = "./ckpt"

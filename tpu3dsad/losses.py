@@ -59,14 +59,17 @@ def vote_loss(end_points, batch):
         jnp.take_along_axis(batch["vote_mask"], seed_inds, axis=1)
         & end_points["seed_mask"]
     )
-    # vote_factor folded into S*F; tile GT across factor copies
-    F = end_points["vote_xyz"].shape[1] // seed_inds.shape[1]
-    gt = jnp.repeat(seed_votes_gt, F, axis=1)  # [B,S*F,V,3]
-    vm = jnp.repeat(voting_mask, F, axis=1)
+    # vote_factor F is folded innermost into S*F (VotingModule reshape);
+    # lineage compute_vote_loss takes the MIN over the F vote copies per
+    # seed (only the best vote is penalized — preserves vote diversity),
+    # and the min over the V candidate GT owners.
+    B, S = seed_inds.shape
+    F = end_points["vote_xyz"].shape[1] // S
+    votes = end_points["vote_xyz"].reshape(B, S, F, 1, 3)
     dist = jnp.sum(
-        jnp.abs(end_points["vote_xyz"][:, :, None, :] - gt), axis=-1
-    )  # [B,S*F,V]
-    return _masked_mean(jnp.min(dist, axis=-1), vm)
+        jnp.abs(votes - seed_votes_gt[:, :, None, :, :]), axis=-1
+    )  # [B,S,F,V]
+    return _masked_mean(jnp.min(dist, axis=(-1, -2)), voting_mask)
 
 
 def assign_proposals(end_points, batch):
@@ -187,7 +190,12 @@ def detection_loss(end_points, batch, mean_sizes, num_heading_bins,
     h_cls, h_reg, s_cls, s_reg, sem, gt_size = box_and_sem_loss(
         end_points, batch, pos, nearest, mean_sizes, num_heading_bins
     )
-    sc_loss = scale_selection_loss(end_points, pos, gt_size, radius_bank)
+    # lineage-mode proposal head (fixed radius) has no scale logits
+    sc_loss = (
+        scale_selection_loss(end_points, pos, gt_size, radius_bank)
+        if "scale_logits" in end_points
+        else jnp.zeros(())
+    )
 
     box_loss = c_loss + 0.1 * h_cls + h_reg + 0.1 * s_cls + s_reg
     total = (

@@ -16,7 +16,7 @@ from tpu3dsad.config import ModelConfig
 from tpu3dsad.data.synthetic import class_mean_sizes
 from tpu3dsad.models.backbone import PointNet2Backbone
 from tpu3dsad.models.decode import decode_proposals
-from tpu3dsad.models.proposal import SizeAdaptiveProposal
+from tpu3dsad.models.proposal import LineageProposal, SizeAdaptiveProposal
 from tpu3dsad.models.voting import VotingModule
 
 
@@ -69,15 +69,27 @@ class SizeAdaptiveDetector(nn.Module):
         end_points["vote_features"] = vote_feat
         end_points["vote_mask"] = vote_mask
 
-        prop = SizeAdaptiveProposal(
-            num_classes=c.num_classes,
-            num_heading_bins=c.num_heading_bins,
-            num_proposals=c.num_proposals,
-            radius_bank=tuple(c.cluster_radius_bank),
-            nsample=c.cluster_nsample,
-            name="proposal",
-        )(vote_xyz, vote_feat, vote_mask=vote_mask, train=train,
-          bn_momentum=bn_momentum)
+        if c.proposal_mode == "lineage":
+            # fixed-radius lineage head: full-checkpoint importable
+            prop = LineageProposal(
+                num_classes=c.num_classes,
+                num_heading_bins=c.num_heading_bins,
+                num_proposals=c.num_proposals,
+                radius=c.proposal_radius,
+                nsample=c.cluster_nsample,
+                name="proposal",
+            )(vote_xyz, vote_feat, vote_mask=vote_mask, train=train,
+              bn_momentum=bn_momentum)
+        else:
+            prop = SizeAdaptiveProposal(
+                num_classes=c.num_classes,
+                num_heading_bins=c.num_heading_bins,
+                num_proposals=c.num_proposals,
+                radius_bank=tuple(c.cluster_radius_bank),
+                nsample=c.cluster_nsample,
+                name="proposal",
+            )(vote_xyz, vote_feat, vote_mask=vote_mask, train=train,
+              bn_momentum=bn_momentum)
         end_points.update(prop)
 
         decoded = decode_proposals(

@@ -113,3 +113,73 @@ class SizeAdaptiveProposal(nn.Module):
             "raw_params": raw,
         }
 
+
+class LineageProposal(nn.Module):
+    """Lineage-exact proposal head (models/proposal_module.py
+    ProposalModule): FPS over votes → fixed QueryAndGroup(r=0.3, K=16,
+    use_xyz=True, normalize_xyz=True) → SA shared-MLP (→128,128,128) with
+    max-pool → Conv1d head 128→128→out_ch (BN+ReLU on the hidden layers).
+
+    Exists so a FULL lineage VoteNet checkpoint is importable
+    (utils/import_torch.py maps pnet.* here) and box-level output fidelity
+    is verifiable end-to-end — the north-star parity mode. Select with
+    model.proposal_mode='lineage'. No scale logits: detection_loss skips
+    the 3DSAD scale-selection term when the key is absent.
+    """
+
+    num_classes: int
+    num_heading_bins: int = 12
+    num_proposals: int = 256
+    radius: float = 0.3
+    nsample: int = 16
+    sa_channels: Sequence[int] = (128, 128, 128)
+    feat_dim: int = 128
+
+    @nn.compact
+    def __call__(self, vote_xyz, vote_features, *, vote_mask=None,
+                 train: bool = False, bn_momentum=0.9):
+        NH, NS = self.num_heading_bins, self.num_classes
+
+        inds = ops.furthest_point_sample(
+            vote_xyz, self.num_proposals, mask=vote_mask
+        )
+        centers = ops.gather(vote_xyz, inds)  # [B, P, 3]
+        center_mask = (
+            jnp.ones(inds.shape, bool)
+            if vote_mask is None
+            else jnp.take_along_axis(vote_mask, inds, axis=1)
+        )
+
+        grouped, _, gmask = ops.query_and_group(
+            vote_xyz,
+            centers,
+            self.radius,
+            self.nsample,
+            features=vote_features,
+            mask=vote_mask,
+            use_xyz=True,
+            normalize_xyz=True,
+        )
+        gmask = gmask & center_mask[:, :, None]
+        h = SharedMLP(tuple(self.sa_channels), name="sa_mlp")(
+            grouped, mask=gmask, train=train, bn_momentum=bn_momentum
+        )
+        feat = ops.masked_max(h, gmask, axis=2)  # [B, P, 128]
+
+        x = feat
+        for i in range(2):
+            x = nn.Dense(self.feat_dim, use_bias=False, name=f"head_{i}")(x)
+            x = MaskedBatchNorm(name=f"head_bn_{i}")(
+                x, train=train, momentum=bn_momentum, mask=center_mask
+            )
+            x = nn.relu(x)
+        out_ch = 2 + 3 + NH * 2 + NS * 4 + self.num_classes
+        raw = nn.Dense(out_ch, name="head_out")(x)
+
+        return {
+            "proposal_xyz": centers,
+            "proposal_inds": inds,
+            "proposal_mask": center_mask,
+            "raw_params": raw,
+        }
+

@@ -14,10 +14,14 @@ models/voting_module.py `[LINEAGE]`) onto this framework's Flax tree:
   vgen.conv3.weight/bias                               → voting/out/*
 
 The lineage is channels-first; kernels are transposed to channels-last
-(SURVEY.md §7 design invariants). The 3DSAD proposal head is structurally
-new (size-adaptive radius bank) and is NOT importable — its params stay as
-initialized; `import_lineage_weights` returns the list of copied and
-skipped source keys so callers can verify coverage.
+(SURVEY.md §7 design invariants). The lineage proposal head (pnet.*) imports
+into models/proposal.py::LineageProposal (build the detector with
+model.proposal_mode='lineage'); end-to-end box-level parity on a fully
+ported checkpoint is pinned by tests/modules/test_detector_torch_parity.py.
+The 3DSAD size-adaptive head is structurally new (radius bank) and has no
+torch counterpart — in 'adaptive' mode its params stay as initialized.
+`import_lineage_weights` returns the (copied, skipped) source keys so
+callers can verify coverage.
 """
 
 from __future__ import annotations
@@ -122,6 +126,54 @@ def import_lineage_weights(state_dict: dict, variables: dict) -> tuple[dict, lis
             _conv_to_dense(state_dict["vgen.conv3.weight"]))
         put(params, ("voting", "out", "bias"), state_dict["vgen.conv3.bias"])
         copied.extend(["vgen.conv3.weight", "vgen.conv3.bias"])
+
+    # lineage proposal head (pnet.*) → LineageProposal (requires the model
+    # to be built with model.proposal_mode='lineage'; the size-adaptive head
+    # has a different structure and stays as initialized otherwise)
+    if "proposal" in params and "sa_mlp" in params["proposal"]:
+        for j in range(3):
+            src = f"pnet.vote_aggregation.mlp_module.layer{j}"
+            if f"{src}.conv.weight" in state_dict:
+                put(params, ("proposal", "sa_mlp", f"dense_{j}", "kernel"),
+                    _conv_to_dense(state_dict[f"{src}.conv.weight"]))
+                copied.append(f"{src}.conv.weight")
+            for pre in (f"{src}.bn.bn", f"{src}.bn"):
+                if f"{pre}.weight" in state_dict:
+                    put(params, ("proposal", "sa_mlp", f"bn_{j}", "scale"),
+                        state_dict[f"{pre}.weight"])
+                    put(params, ("proposal", "sa_mlp", f"bn_{j}", "bias"),
+                        state_dict[f"{pre}.bias"])
+                    put(stats, ("proposal", "sa_mlp", f"bn_{j}", "mean"),
+                        state_dict[f"{pre}.running_mean"])
+                    put(stats, ("proposal", "sa_mlp", f"bn_{j}", "var"),
+                        state_dict[f"{pre}.running_var"])
+                    copied.extend(f"{pre}.{s}" for s in
+                                  ("weight", "bias", "running_mean",
+                                   "running_var"))
+                    break
+        for j, (cv, bn) in enumerate((("conv1", "bn1"), ("conv2", "bn2"))):
+            if f"pnet.{cv}.weight" in state_dict:
+                put(params, ("proposal", f"head_{j}", "kernel"),
+                    _conv_to_dense(state_dict[f"pnet.{cv}.weight"]))
+                copied.append(f"pnet.{cv}.weight")
+            if f"pnet.{bn}.weight" in state_dict:
+                put(params, ("proposal", f"head_bn_{j}", "scale"),
+                    state_dict[f"pnet.{bn}.weight"])
+                put(params, ("proposal", f"head_bn_{j}", "bias"),
+                    state_dict[f"pnet.{bn}.bias"])
+                put(stats, ("proposal", f"head_bn_{j}", "mean"),
+                    state_dict[f"pnet.{bn}.running_mean"])
+                put(stats, ("proposal", f"head_bn_{j}", "var"),
+                    state_dict[f"pnet.{bn}.running_var"])
+                copied.extend(f"pnet.{bn}.{s}" for s in
+                              ("weight", "bias", "running_mean",
+                               "running_var"))
+        if "pnet.conv3.weight" in state_dict:
+            put(params, ("proposal", "head_out", "kernel"),
+                _conv_to_dense(state_dict["pnet.conv3.weight"]))
+            put(params, ("proposal", "head_out", "bias"),
+                state_dict["pnet.conv3.bias"])
+            copied.extend(["pnet.conv3.weight", "pnet.conv3.bias"])
 
     skipped = [k for k in state_dict if k not in copied]
     return variables, copied, skipped
