@@ -190,3 +190,39 @@ def test_scannet_color_features_train_step(tmp_path, rng):
     train_step, _ = train_lib.make_detector_steps(model, cfg)
     state, metrics = train_step(state, batch, jax.random.key(1), 0.9)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_val_batches_cover_remainder(tmp_path, rng):
+    """VERDICT r1 weak #3: 5 val scenes at batch_size=2 must all be scored
+    exactly once; the tail batch is padded with scene_mask=False."""
+    _write_scannet(tmp_path, split="val", scans=5)
+    _write_scannet(tmp_path, split="train", scans=1)
+    cfg = apply_overrides(
+        Config(),
+        ["data.name=scannet", f"data.root={tmp_path}", "data.num_points=128",
+         "data.max_boxes=8"],
+    )
+    ds = get_dataset(cfg)
+    batches = list(ds.val_batches(np.random.default_rng(0), 2))
+    assert len(batches) == 3  # ceil(5/2), not floor
+    masks = np.concatenate([b["scene_mask"] for b in batches])
+    assert masks.sum() == 5
+    assert list(masks) == [True, True, True, True, True, False]
+    for b in batches:
+        assert b["points"].shape[0] == 2  # static batch shape
+
+
+def test_iter_val_batches_unit():
+    from tpu3dsad.data.pipeline import iter_val_batches
+
+    items = list(range(7))
+    seen = []
+    for b in iter_val_batches(items, lambda i: {"x": np.float32(i)}, 3):
+        assert b["x"].shape == (3,)
+        seen += [int(v) for v, m in zip(b["x"], b["scene_mask"]) if m]
+    assert seen == items  # every item once, in order
+    # exact multiple: no padded batch
+    bs = list(iter_val_batches(items[:6], lambda i: {"x": np.float32(i)}, 3))
+    assert len(bs) == 2 and all(b["scene_mask"].all() for b in bs)
+    # empty: no batches
+    assert list(iter_val_batches([], lambda i: {"x": np.float32(i)}, 3)) == []

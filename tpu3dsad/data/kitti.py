@@ -22,7 +22,7 @@ from glob import glob
 import numpy as np
 
 from tpu3dsad.config import Config
-from tpu3dsad.data.pipeline import pad_boxes
+from tpu3dsad.data.pipeline import iter_val_batches, pad_boxes
 
 KITTI_CLASS_NAMES = ("car", "pedestrian", "cyclist")
 KITTI_MEAN_SIZES = np.array(
@@ -190,9 +190,6 @@ class KittiDetectionDataset:
 
     def val_batches(self, rng, batch_size):
         items = self.val_items or self.train_items
-        for i in range(0, len(items) - batch_size + 1, batch_size):
-            out = [
-                self._load_scene(*items[j], rng, False)
-                for j in range(i, i + batch_size)
-            ]
-            yield {k: np.stack([it[k] for it in out]) for k in out[0]}
+        yield from iter_val_batches(
+            items, lambda it: self._load_scene(*it, rng, False), batch_size
+        )

@@ -87,11 +87,16 @@ class ModelNetClassificationDataset:
         return self._batch(self.train_items, rng, batch_size, augment=True)
 
     def val_batches(self, rng, batch_size):
+        from tpu3dsad.data.pipeline import iter_val_batches
+
         items = self.val_items or self.train_items
-        for i in range(0, len(items) - batch_size + 1, batch_size):
-            loaded = [self._load(*items[j], rng, False) for j in range(i, i + batch_size)]
-            yield {
-                "points": np.stack([p for p, _ in loaded]),
-                "labels": np.asarray([l for _, l in loaded], np.int32),
-                "mask": np.ones((batch_size, self.cfg.data.num_points), bool),
+
+        def load(it):
+            pts, label = self._load(*it, rng, False)
+            return {
+                "points": pts,
+                "labels": np.int32(label),
+                "mask": np.ones(self.cfg.data.num_points, bool),
             }
+
+        yield from iter_val_batches(items, load, batch_size)

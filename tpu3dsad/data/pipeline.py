@@ -72,6 +72,31 @@ def scene_to_training_dict(points, spec, owner, max_boxes: int):
     }
 
 
+def iter_val_batches(items, load_fn, batch_size: int):
+    """Full-coverage val iteration over a scene list.
+
+    Every item appears exactly once with scene_mask=True; the tail batch is
+    padded by wrapping to the front of the list with scene_mask=False so
+    batch shapes stay static. (The lineage DataLoader with drop_last simply
+    discarded up to batch_size-1 tail scenes from every eval.)
+    """
+    n = len(items)
+    if n == 0:
+        return
+    for i in range(0, n, batch_size):
+        idx = list(range(i, min(i + batch_size, n)))
+        mask = np.zeros(batch_size, bool)
+        mask[: len(idx)] = True
+        j = 0
+        while len(idx) < batch_size:
+            idx.append(j % n)
+            j += 1
+        loaded = [load_fn(items[k]) for k in idx]
+        batch = {k: np.stack([it[k] for it in loaded]) for k in loaded[0]}
+        batch["scene_mask"] = mask
+        yield batch
+
+
 class Batcher:
     """Background-thread prefetching iterator over numpy batch dicts."""
 

@@ -23,7 +23,7 @@ import numpy as np
 
 from tpu3dsad.config import Config
 from tpu3dsad.data.augment import augment_scene
-from tpu3dsad.data.pipeline import pad_boxes
+from tpu3dsad.data.pipeline import iter_val_batches, pad_boxes
 
 # The 18 ScanNet benchmark classes and their nyu40 ids (lineage
 # scannet/model_util_scannet.py ScannetDatasetConfig).
@@ -103,11 +103,15 @@ class ScanNetDetectionDataset:
             else np.arange(n)
         )
         points = verts[sel, :3].astype(np.float32)
-        colors = (
-            (verts[sel, 3:6] / 256.0).astype(np.float32)
-            if self.cfg.data.use_color and verts.shape[1] >= 6
-            else None
-        )
+        colors = None
+        if self.cfg.data.use_color:
+            # color-less scenes get zeros so every batch item has identical
+            # keys (np.stack in _batch would KeyError on a mixed dataset)
+            colors = (
+                (verts[sel, 3:6] / 256.0).astype(np.float32)
+                if verts.shape[1] >= 6
+                else np.zeros((len(sel), 3), np.float32)
+            )
         ins = ins[sel]
         sem = sem[sel]
 
@@ -164,9 +168,6 @@ class ScanNetDetectionDataset:
 
     def val_batches(self, rng, batch_size):
         scans = self.val_scans or self.train_scans
-        for i in range(0, len(scans) - batch_size + 1, batch_size):
-            items = [
-                self._load_scene(*scans[j], rng, False)
-                for j in range(i, i + batch_size)
-            ]
-            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+        yield from iter_val_batches(
+            scans, lambda it: self._load_scene(*it, rng, False), batch_size
+        )

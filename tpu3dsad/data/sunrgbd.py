@@ -23,7 +23,7 @@ import numpy as np
 
 from tpu3dsad.config import Config
 from tpu3dsad.data.augment import augment_scene, rot_z
-from tpu3dsad.data.pipeline import pad_boxes
+from tpu3dsad.data.pipeline import iter_val_batches, pad_boxes
 
 SUNRGBD_CLASS_NAMES = (
     "bed", "table", "sofa", "chair", "toilet", "desk", "dresser",
@@ -95,11 +95,15 @@ class SunRGBDDetectionDataset:
             else np.arange(n)
         )
         points = pc[sel, :3].astype(np.float32)
-        colors = (
-            pc[sel, 3:6].astype(np.float32)
-            if self.cfg.data.use_color and pc.shape[1] >= 6
-            else None
-        )
+        colors = None
+        if self.cfg.data.use_color:
+            # zero-fill color-less scenes: every item must carry the same
+            # keys or np.stack in _batch KeyErrors on a mixed dataset
+            colors = (
+                pc[sel, 3:6].astype(np.float32)
+                if pc.shape[1] >= 6
+                else np.zeros((len(sel), 3), np.float32)
+            )
 
         if augment and self.cfg.data.augment:
             # lineage SUN RGB-D: single flip + ±30° rotation + scale
@@ -152,9 +156,6 @@ class SunRGBDDetectionDataset:
 
     def val_batches(self, rng, batch_size):
         items = self.val_items or self.train_items
-        for i in range(0, len(items) - batch_size + 1, batch_size):
-            out = [
-                self._load_scene(*items[j], rng, False)
-                for j in range(i, i + batch_size)
-            ]
-            yield {k: np.stack([it[k] for it in out]) for k in out[0]}
+        yield from iter_val_batches(
+            items, lambda it: self._load_scene(*it, rng, False), batch_size
+        )
