@@ -47,7 +47,7 @@ def main(argv):
         tx,
         jax.random.key(0),
     )
-    state, step = train_lib.restore_checkpoint(cfg.train.ckpt_dir, state)
+    state, step = train_lib.restore_checkpoint(cfg.train.ckpt_dir, state, for_eval=True)
 
     end_points = jax.jit(
         lambda s, b: model.apply(

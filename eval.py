@@ -48,7 +48,7 @@ def main(argv):
         tx,
         jax.random.key(0),
     )
-    state, step = train_lib.restore_checkpoint(cfg.train.ckpt_dir, state)
+    state, step = train_lib.restore_checkpoint(cfg.train.ckpt_dir, state, for_eval=True)
     if step == 0:
         print("WARNING: no checkpoint found — evaluating random weights",
               file=sys.stderr)
@@ -59,7 +59,13 @@ def main(argv):
             ep, model._mean_sizes(), cfg.model.num_heading_bins, cfg.eval
         )
     )
-    metrics = evaluate(cfg, model, state, dataset, eval_step, parse)
+    # distributed eval: shard the val sweep over the data-parallel mesh
+    # (train.mesh_shape, same flag as training; single device = no-op)
+    from tpu3dsad.parallel import make_mesh
+
+    mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
+    metrics = evaluate(cfg, model, state, dataset, eval_step, parse,
+                       mesh=mesh)
     print(json.dumps({"ckpt_step": step, **metrics}))
 
 
@@ -76,11 +82,7 @@ def eval_classifier(cfg):
         num_classes = ds.num_classes
         batches = list(ds.val_batches(rng, cfg.train.batch_size))
         if not batches:
-            raise SystemExit(
-                f"no full val batches: {len(ds.val_items or ds.train_items)} "
-                f"items < batch_size={cfg.train.batch_size} — lower "
-                "train.batch_size"
-            )
+            raise SystemExit("no val items found under data.root")
     else:
         num_classes = cfg.model.num_classes
         batches = [
@@ -103,21 +105,22 @@ def eval_classifier(cfg):
         tx,
         jax.random.key(0),
     )
-    state, step = train_lib.restore_checkpoint(cfg.train.ckpt_dir, state)
+    state, step = train_lib.restore_checkpoint(cfg.train.ckpt_dir, state, for_eval=True)
     if step == 0:
         print("WARNING: no checkpoint found — evaluating random weights",
               file=sys.stderr)
-    accs, losses = [], []
+    accs, losses, weights = [], [], []
     for b in batches:
         m = train_lib.classifier_eval_step(
             model, state, {k: jnp.asarray(v) for k, v in b.items()}
         )
         accs.append(float(m["acc"]))
         losses.append(float(m["loss"]))
+        weights.append(float(m["n_valid"]))  # tail batches carry fewer items
     print(json.dumps({
         "ckpt_step": step,
-        "val_acc": round(float(np.mean(accs)), 4),
-        "val_loss": round(float(np.mean(losses)), 4),
+        "val_acc": round(float(np.average(accs, weights=weights)), 4),
+        "val_loss": round(float(np.average(losses, weights=weights)), 4),
     }))
 
 

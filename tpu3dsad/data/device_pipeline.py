@@ -1,0 +1,227 @@
+"""On-device input pipeline: augmentation and synthetic-scene generation as
+jitted TPU programs.
+
+VERDICT r1 #3: the host has ONE core and the host↔device link is the
+bottleneck at training scale (config #3 ran 40 scenes/s host-bound vs 78
+scenes/s device capacity). Multiprocess loaders can't help a 1-core host —
+the TPU-native fix is to move the per-step work OFF the host:
+
+* `augment_batch` — flip/rotate/scale a canonical padded batch on device,
+  inside the train step. Vote targets and GT boxes are offsets/poses that
+  transform LINEARLY, so augmenting them directly is exactly equivalent to
+  the lineage's recompute-votes-after-augment (ownership is invariant under
+  a rigid transform + uniform scale). The host then only loads canonical
+  scenes (IO-bound, cacheable), and each scene crosses the link once per
+  epoch shape, not once per augmented variant.
+* `synthetic_detection_batch` — the full procedural scene generator as one
+  XLA program (floor + box-surface "furniture" + analytic vote targets),
+  device-resident end to end: zero host work, zero link bytes per step.
+
+Semantics mirror data/augment.py::augment_scene and
+data/synthetic.py::detection_scene (same distributions, same target
+conventions); they are not bit-identical samplers (threefry vs PCG).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _rot_z(angle):
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    zero = jnp.zeros_like(angle)
+    one = jnp.ones_like(angle)
+    return jnp.stack(
+        [
+            jnp.stack([c, -s, zero], -1),
+            jnp.stack([s, c, zero], -1),
+            jnp.stack([zero, zero, one], -1),
+        ],
+        -2,
+    )  # [..., 3, 3]
+
+
+def augment_batch(
+    batch: dict,
+    key,
+    flip: bool = True,
+    rot_range: float = np.pi / 18,
+    scale_range: tuple[float, float] | None = (0.9, 1.1),
+) -> dict:
+    """Per-scene flip/rot/scale of a padded detection batch, on device.
+
+    Transforms points, vote_targets ([B,N,3] or [B,N,V,3]), gt_centers,
+    gt_headings, gt_sizes consistently; other keys pass through. Feature
+    channels (point_features) are pose-invariant and untouched.
+    """
+    B = batch["points"].shape[0]
+    kfx, kfy, kr, ks = jax.random.split(key, 4)
+
+    points = batch["points"]
+    votes = batch["vote_targets"]
+    vshape = votes.shape
+    if votes.ndim == 3:
+        votes = votes[:, :, None, :]
+    centers = batch["gt_centers"]
+    headings = batch["gt_headings"]
+    sizes = batch["gt_sizes"]
+
+    def flip_axis(ax, do):
+        """Negate coordinate `ax` per scene where `do` [B] is set."""
+        nonlocal points, votes, centers, headings
+        sgn = jnp.where(do, -1.0, 1.0)[:, None]  # [B,1]
+        points = points.at[..., ax].multiply(sgn)
+        votes = votes.at[..., ax].multiply(sgn[:, :, None])
+        centers = centers.at[..., ax].multiply(sgn)
+        # x-flip: h → π−h ; y-flip: h → −h (augment_scene convention)
+        headings = jnp.where(
+            do[:, None], (np.pi - headings) if ax == 0 else -headings,
+            headings,
+        )
+
+    if flip:
+        flip_axis(0, jax.random.bernoulli(kfx, 0.5, (B,)))
+        flip_axis(1, jax.random.bernoulli(kfy, 0.5, (B,)))
+
+    angle = jax.random.uniform(
+        kr, (B,), minval=-rot_range, maxval=rot_range
+    )
+    r = _rot_z(angle)  # [B,3,3]
+    points = jnp.einsum("bnc,bdc->bnd", points, r)
+    votes = jnp.einsum("bnvc,bdc->bnvd", votes, r)
+    centers = jnp.einsum("bgc,bdc->bgd", centers, r)
+    headings = headings + angle[:, None]
+
+    if scale_range is not None:
+        s = jax.random.uniform(
+            ks, (B, 1, 1), minval=scale_range[0], maxval=scale_range[1]
+        )
+        points = points * s
+        votes = votes * s[..., None]
+        centers = centers * s
+        sizes = sizes * s
+
+    headings = jnp.mod(headings + np.pi, 2 * np.pi) - np.pi
+    out = dict(batch)
+    out["points"] = points
+    out["vote_targets"] = votes.reshape(vshape)
+    out["gt_centers"] = centers
+    out["gt_headings"] = headings
+    out["gt_sizes"] = sizes
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("batch_size", "num_points", "num_classes", "max_boxes",
+                     "max_objects", "min_objects"),
+)
+def synthetic_detection_batch(
+    key,
+    batch_size: int,
+    num_points: int,
+    num_classes: int = 4,
+    max_boxes: int = 64,
+    max_objects: int = 8,
+    min_objects: int = 3,
+    room: float = 4.0,
+):
+    """Device-resident detection_batch (data/synthetic.py semantics).
+
+    Every scene has `g ∈ [min_objects, max_objects]` boxes; point slots of
+    disabled object slots become extra floor points. Returns the standard
+    padded batch dict, all arrays on device.
+    """
+    from tpu3dsad.data.synthetic import class_mean_sizes
+
+    B, N, G = batch_size, num_points, max_objects
+    ks = jax.random.split(key, 12)
+    mean_sizes = jnp.asarray(class_mean_sizes(num_classes))
+
+    g = jax.random.randint(ks[0], (B,), min_objects, max_objects + 1)
+    obj_valid = jnp.arange(G)[None, :] < g[:, None]  # [B,G]
+    classes = jax.random.randint(ks[1], (B, G), 0, num_classes)
+    sizes = mean_sizes[classes] * jax.random.uniform(
+        ks[2], (B, G, 3), minval=0.8, maxval=1.25
+    )
+    headings = jax.random.uniform(ks[3], (B, G), minval=-np.pi, maxval=np.pi)
+    cxy = jax.random.uniform(
+        ks[4], (B, G, 2), minval=-room / 2 + 1, maxval=room / 2 - 1
+    )
+    centers = jnp.concatenate([cxy, sizes[..., 2:] / 2], -1)  # on the floor
+
+    # point budget: fixed floor block + equal per-slot object blocks
+    n_floor = N // 4
+    per = (N - n_floor) // G
+    n_obj = per * G
+    n_floor = N - n_obj  # absorb the remainder into the floor
+
+    fl = jax.random.uniform(
+        ks[5], (B, n_floor, 2), minval=-room / 2, maxval=room / 2
+    )
+    floor = jnp.concatenate(
+        [fl, 0.01 * jax.random.normal(ks[6], (B, n_floor, 1))], -1
+    )
+
+    # box-surface samples: uniform in the cube, one axis snapped to ±1
+    cube = jax.random.uniform(ks[7], (B, G, per, 3), minval=-1.0, maxval=1.0)
+    ax = jax.random.randint(ks[8], (B, G, per), 0, 3)
+    sign = jnp.where(jax.random.bernoulli(ks[9], 0.5, (B, G, per)), 1.0, -1.0)
+    snap = jax.nn.one_hot(ax, 3, dtype=cube.dtype)
+    cube = cube * (1 - snap) + sign[..., None] * snap
+    local = cube * 0.5 * sizes[:, :, None, :]
+    r = _rot_z(headings)  # [B,G,3,3]
+    obj_pts = (
+        jnp.einsum("bgpc,bgdc->bgpd", local, r) + centers[:, :, None, :]
+    )
+
+    # disabled slots: replace with extra floor points (owner = floor)
+    extra_fl = jax.random.uniform(
+        ks[10], (B, G, per, 2), minval=-room / 2, maxval=room / 2
+    )
+    extra = jnp.concatenate(
+        [extra_fl, 0.01 * jax.random.normal(ks[11], (B, G, per, 1))], -1
+    )
+    obj_pts = jnp.where(obj_valid[:, :, None, None], obj_pts, extra)
+
+    points = jnp.concatenate([floor, obj_pts.reshape(B, n_obj, 3)], 1)
+    owner = jnp.where(obj_valid, jnp.arange(G)[None, :], -1)  # [B,G]
+    owner = jnp.concatenate(
+        [
+            jnp.full((B, n_floor), -1, jnp.int32),
+            jnp.repeat(owner, per, axis=1).astype(jnp.int32),
+        ],
+        1,
+    )  # [B,N]
+
+    vote_mask = owner >= 0
+    own = jnp.maximum(owner, 0)
+    votes = jnp.where(
+        vote_mask[..., None],
+        jnp.take_along_axis(centers, own[..., None], axis=1) - points,
+        0.0,
+    )
+
+    pad = max_boxes - G
+    z3 = jnp.zeros((B, pad, 3))
+    return {
+        "points": points.astype(jnp.float32),
+        "point_mask": jnp.ones((B, N), bool),
+        "vote_targets": votes.astype(jnp.float32),
+        "vote_mask": vote_mask,
+        "gt_centers": jnp.concatenate([centers, z3], 1).astype(jnp.float32),
+        "gt_sizes": jnp.concatenate([sizes, z3], 1).astype(jnp.float32),
+        "gt_headings": jnp.concatenate(
+            [headings, jnp.zeros((B, pad))], 1
+        ).astype(jnp.float32),
+        "gt_classes": jnp.concatenate(
+            [classes, jnp.zeros((B, pad), jnp.int32)], 1
+        ).astype(jnp.int32),
+        "gt_mask": jnp.concatenate(
+            [obj_valid, jnp.zeros((B, pad), bool)], 1
+        ),
+    }

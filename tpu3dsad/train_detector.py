@@ -37,7 +37,16 @@ def build_detector(cfg: Config, mean_sizes=None):
 
 def run_detector(cfg: Config):
     mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
-    dataset = get_dataset(cfg)
+    if cfg.data.device_augment:
+        # host loads CANONICAL scenes; flip/rot/scale runs inside the jitted
+        # train step (data/device_pipeline.py — 1-core-host bottleneck fix)
+        from dataclasses import replace
+
+        dataset = get_dataset(
+            replace(cfg, data=replace(cfg.data, augment=False))
+        )
+    else:
+        dataset = get_dataset(cfg)
     model = build_detector(cfg, dataset.mean_sizes)
     steps_per_epoch = dataset.steps_per_epoch(cfg.train.batch_size)
 
@@ -78,16 +87,34 @@ def run_detector(cfg: Config):
         # SURVEY.md §5 tracing: capture a short window of real train steps
         jax.profiler.start_trace(cfg.train.profile_dir)
 
-    # background-thread prefetch: the host pipeline overlaps device steps
-    # (lineage DataLoader workers — SURVEY.md §3.1/§7 hard part #6)
+    # input feed: fully on-device synthetic generation (zero host work and
+    # zero link bytes per step) when enabled; otherwise background-thread
+    # prefetch of host batches (lineage DataLoader workers — SURVEY.md §3.1)
     from tpu3dsad.data import Batcher
 
-    batcher = Batcher(
-        lambda rng: dataset.train_batch(rng, cfg.train.batch_size),
-        seed=cfg.train.seed,
-        prefetch=2,
-    )
-    batches = iter(batcher)
+    device_synth = cfg.data.device_synth and cfg.data.name == "synthetic"
+    if device_synth:
+        from tpu3dsad.data.device_pipeline import synthetic_detection_batch
+
+        gen_key = jax.random.key(cfg.train.seed + 1234)
+
+        def _gen():
+            nonlocal gen_key
+            gen_key, sub = jax.random.split(gen_key)
+            return synthetic_detection_batch(
+                sub, cfg.train.batch_size, cfg.data.num_points,
+                cfg.model.num_classes, cfg.data.max_boxes,
+            )
+
+        batcher = None
+        batches = iter(_gen, object())  # infinite
+    else:
+        batcher = Batcher(
+            lambda rng: dataset.train_batch(rng, cfg.train.batch_size),
+            seed=cfg.train.seed,
+            prefetch=2,
+        )
+        batches = iter(batcher)
 
     key = jax.random.key(cfg.train.seed + 1)
     step = start_step
@@ -121,36 +148,59 @@ def run_detector(cfg: Config):
             jax.profiler.stop_trace()  # first epoch only
 
         if (epoch + 1) % cfg.train.eval_every == 0:
-            m = evaluate(cfg, model, state, dataset, eval_step, parse)
+            m = evaluate(cfg, model, state, dataset, eval_step, parse,
+                         mesh=mesh)
             flat = {k: v for k, v in m.items() if isinstance(v, (int, float))}
             logger.log(step, {"epoch": epoch, **flat}, prefix="eval/")
             per_cls = {k: v for k, v in m.items() if isinstance(v, dict)}
             if per_cls:
                 print(json.dumps({"epoch": epoch, **per_cls}))
-    batcher.close()
+    if batcher is not None:
+        batcher.close()
     logger.flush()
 
 
-def evaluate(cfg, model, state, dataset, eval_step, parse, num_batches=None):
-    """Val sweep → AP table (lineage eval.py path, SURVEY.md §3.2)."""
+def evaluate(cfg, model, state, dataset, eval_step, parse, num_batches=None,
+             mesh=None):
+    """Val sweep → AP table (lineage eval.py path, SURVEY.md §3.2).
+
+    With `mesh`, each val batch is sharded over the data axis and the jitted
+    eval/parse run SPMD; XLA inserts the cross-chip gather of the decoded
+    fixed-shape detections when they are fetched for host AP (SURVEY.md §2.4
+    "all_gather for prediction collection"). mAP is bitwise the same as the
+    single-device sweep (tests/distributed/test_dp_eval.py)."""
     calc = {
         t: APCalculator(iou_thresh=t, class_names=dataset.class_names)
         for t in cfg.eval.ap_iou_threshs
     }
     rng = np.random.default_rng(12345)
-    losses = []
+    losses, loss_weights = [], []
     for i, batch_np in enumerate(dataset.val_batches(rng, cfg.train.batch_size)):
         if num_batches is not None and i >= num_batches:
             break
+        # scene_mask marks tail-batch padding (iter_val_batches): padded
+        # scenes are wrap-around duplicates and must not be scored twice
+        scene_mask = np.asarray(
+            batch_np.pop("scene_mask", np.ones(cfg.train.batch_size, bool))
+        )
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
         end_points, metrics = eval_step(state, batch)
         losses.append(float(metrics["loss"]))
+        loss_weights.append(float(scene_mask.mean()))
         parsed = parse(end_points)
         preds = predictions_to_lists(parsed, cfg.eval, cfg.model.num_classes)
         gts = parse_groundtruths(batch_np)
+        preds = [p for p, v in zip(preds, scene_mask) if v]
+        gts = [g for g, v in zip(gts, scene_mask) if v]
         for c in calc.values():
             c.step(preds, gts)
-    out = {"val_loss": round(float(np.mean(losses)), 4) if losses else None}
+    out = {
+        "val_loss": round(float(np.average(losses, weights=loss_weights)), 4)
+        if losses
+        else None
+    }
     for t, c in calc.items():
         m = c.compute_metrics()
         out[f"mAP@{t}"] = round(m["mAP"], 4)

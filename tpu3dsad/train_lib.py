@@ -34,18 +34,29 @@ def lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
 
 
 def bn_momentum_at(cfg: TrainConfig, epoch):
-    """Lineage BNMomentumScheduler: torch-momentum 0.5 halved every 20 epochs
-    (min 0.001) → flax running-average weight = 1 - torch_momentum."""
-    torch_m = jnp.maximum(0.5 * (0.5 ** (epoch // 20)), 0.001)
+    """Lineage BNMomentumScheduler: torch-momentum starts at
+    cfg.bn_momentum_init, halved every cfg.bn_decay_epochs, floored so the
+    flax running-average weight never exceeds cfg.bn_momentum_max.
+    flax weight = 1 - torch_momentum."""
+    torch_m = jnp.maximum(
+        cfg.bn_momentum_init * (0.5 ** (epoch // cfg.bn_decay_epochs)),
+        1.0 - cfg.bn_momentum_max,
+    )
     return 1.0 - torch_m
 
 
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
-    tx = optax.adam(lr_schedule(cfg, steps_per_epoch))
+    sched = lr_schedule(cfg, steps_per_epoch)
+    if cfg.weight_decay > 0:
+        # AdamW: decay applied after Adam preconditioning but INSIDE the -lr
+        # scaling, so wd>0 shrinks weights (regression test:
+        # tests/e2e/test_weight_decay.py). Chaining add_decayed_weights
+        # after optax.adam would ADD +wd*params to the final update instead.
+        tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
+    else:
+        tx = optax.adam(sched)
     if cfg.grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
-    if cfg.weight_decay > 0:
-        tx = optax.chain(tx, optax.add_decayed_weights(cfg.weight_decay))
     return tx
 
 
@@ -96,17 +107,25 @@ def classifier_train_step(model, state: TrainState, batch, rng, bn_momentum):
 
 @partial(jax.jit, static_argnums=0)
 def classifier_eval_step(model, state: TrainState, batch):
+    """Batch metrics; honors an optional scene_mask [B] (val tail-batch
+    padding from iter_val_batches) so padded items don't bias acc/loss."""
     logits = model.apply(
         {"params": state.params, "batch_stats": state.batch_stats},
         batch["points"],
         mask=batch["mask"],
         train=False,
     )
+    correct = (jnp.argmax(logits, -1) == batch["labels"]).astype(jnp.float32)
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits, batch["labels"]
+    )
+    sm = batch.get("scene_mask")
+    w = jnp.ones_like(correct) if sm is None else sm.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(w), 1.0)
     return {
-        "acc": jnp.mean(jnp.argmax(logits, -1) == batch["labels"]),
-        "loss": optax.softmax_cross_entropy_with_integer_labels(
-            logits, batch["labels"]
-        ).mean(),
+        "acc": jnp.sum(correct * w) / denom,
+        "loss": jnp.sum(ce * w) / denom,
+        "n_valid": jnp.sum(w),
     }
 
 
@@ -123,6 +142,7 @@ def make_detector_steps(model, cfg: Config):
     mean_sizes = model._mean_sizes()
     nh = cfg.model.num_heading_bins
     bank = tuple(cfg.model.cluster_radius_bank)
+    device_aug = cfg.data.device_augment and cfg.data.augment
 
     def loss_fn(params, batch_stats, batch, rng, bn_momentum):
         end_points, updates = model.apply(
@@ -140,6 +160,16 @@ def make_detector_steps(model, cfg: Config):
 
     @partial(jax.jit, donate_argnums=0)
     def train_step(state: TrainState, batch, rng, bn_momentum):
+        if device_aug:  # flip/rot/scale on device (data.device_augment)
+            from tpu3dsad.data.device_pipeline import augment_batch
+
+            rng, akey = jax.random.split(rng)
+            batch = augment_batch(
+                batch,
+                akey,
+                rot_range=cfg.data.aug_rot_range,
+                scale_range=(cfg.data.aug_scale_min, cfg.data.aug_scale_max),
+            )
         (_, (new_stats, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, batch, rng, bn_momentum)
@@ -181,8 +211,14 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int, keep: int = 3):
         )
 
 
-def restore_checkpoint(ckpt_dir: str, state: TrainState) -> tuple[TrainState, int]:
-    """Auto-resume contract (lineage train.py): restore latest if present."""
+def restore_checkpoint(ckpt_dir: str, state: TrainState,
+                       for_eval: bool = False) -> tuple[TrainState, int]:
+    """Auto-resume contract (lineage train.py): restore latest if present.
+
+    for_eval=True restores params/batch_stats/step only, skipping the
+    optimizer state — eval never uses it, and requiring the caller to
+    reconstruct the training optimizer (adam vs adamw vs grad-clip chain)
+    just to deserialize a checkpoint is a footgun."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(ckpt_dir)
@@ -192,13 +228,21 @@ def restore_checkpoint(ckpt_dir: str, state: TrainState) -> tuple[TrainState, in
         step = mgr.latest_step()
         if step is None:
             return state, 0
-        target = {"params": state.params, "batch_stats": state.batch_stats,
-                  "opt_state": state.opt_state, "step": 0}
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
+        if for_eval:
+            # targetless restore returns the raw saved tree; we take only
+            # params/batch_stats/step and never touch opt_state
+            restored = mgr.restore(step)
+        else:
+            target = {"params": state.params,
+                      "batch_stats": state.batch_stats,
+                      "opt_state": state.opt_state, "step": 0}
+            restored = mgr.restore(
+                step, args=ocp.args.StandardRestore(target)
+            )
     state = state.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"],
-        opt_state=restored["opt_state"],
         step=restored["step"],
+        **({} if for_eval else {"opt_state": restored["opt_state"]}),
     )
     return state, int(restored["step"])
