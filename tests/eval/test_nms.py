@@ -80,3 +80,81 @@ def test_class_aware_nms_keeps_other_classes():
     )
     np.testing.assert_array_equal(keep_agnostic[0], [True, False])
     np.testing.assert_array_equal(keep_cls[0], [True, True])
+
+
+def test_oriented_bev_iou_matches_host_evaluator(rng):
+    """jit oriented IoU (polygon clip on device) vs eval/ap.py's numpy
+    box3d_iou_oriented on random rotated boxes."""
+    from tpu3dsad.eval.ap import box3d_iou_oriented
+    from tpu3dsad.ops.boxes import box_corners, oriented_bev_iou
+
+    K = 12
+    centers = rng.uniform(-1, 1, (1, K, 3)).astype(np.float32)
+    sizes = rng.uniform(0.4, 1.5, (1, K, 3)).astype(np.float32)
+    headings = rng.uniform(-np.pi, np.pi, (1, K)).astype(np.float32)
+    corners = box_corners(
+        jnp.asarray(centers), jnp.asarray(sizes), jnp.asarray(headings)
+    )
+    import jax
+
+    got = np.asarray(jax.jit(oriented_bev_iou)(corners, corners))[0]
+    c_np = np.asarray(corners)[0]
+    for i in range(K):
+        for j in range(K):
+            want = box3d_iou_oriented(c_np[i], c_np[j])
+            assert abs(got[i, j] - want) < 1e-4, (i, j, got[i, j], want)
+    np.testing.assert_allclose(np.diag(got), 1.0, atol=1e-5)
+
+
+def test_oriented_nms_suppresses_rotated_duplicates(rng):
+    """Two near-identical boxes at 45°: AABB hulls inflate the overlap the
+    same way, but a rotated near-duplicate pair with low AABB IoU is only
+    suppressed by the oriented path."""
+    from tpu3dsad.ops.boxes import box_corners, corners_to_aabb
+    from tpu3dsad.ops.nms import nms_aabb, nms_oriented
+
+    # long thin boxes crossing at ±45°: tiny oriented IoU, but both AABB
+    # hulls inflate to the same fat square -> huge AABB IoU
+    centers = np.zeros((1, 2, 3), np.float32)
+    sizes = np.tile(np.array([3.0, 0.3, 0.5], np.float32), (1, 2, 1))
+    headings = np.array([[np.pi / 4, -np.pi / 4]], np.float32)
+    corners = box_corners(
+        jnp.asarray(centers), jnp.asarray(sizes), jnp.asarray(headings)
+    )
+    scores = jnp.asarray([[0.9, 0.8]])
+    valid = jnp.ones((1, 2), bool)
+
+    keep_o = np.asarray(nms_oriented(corners, scores, valid, 0.25))
+    assert keep_o.sum() == 2  # crossing boxes overlap ~3% oriented — both kept
+
+    bmin, bmax = corners_to_aabb(corners)
+    keep_a = np.asarray(nms_aabb(bmin, bmax, scores, valid, 0.25))
+    assert keep_a.sum() == 1  # AABB hulls are near-identical squares
+
+    # true duplicates (same pose, slight shift) are suppressed by both
+    centers2 = np.array([[[0, 0, 0], [0.05, 0, 0]]], np.float32)
+    sizes2 = np.tile(np.array([1.0, 0.6, 0.5], np.float32), (1, 2, 1))
+    headings2 = np.array([[0.7, 0.7]], np.float32)
+    c2 = box_corners(jnp.asarray(centers2), jnp.asarray(sizes2),
+                     jnp.asarray(headings2))
+    keep2 = np.asarray(nms_oriented(c2, scores, valid, 0.25))
+    assert keep2.tolist() == [[True, False]]
+
+
+def test_oriented_nms_class_aware(rng):
+    from tpu3dsad.ops.boxes import box_corners
+    from tpu3dsad.ops.nms import nms_oriented
+
+    centers = np.zeros((1, 2, 3), np.float32)
+    sizes = np.ones((1, 2, 3), np.float32)
+    headings = np.zeros((1, 2), np.float32)
+    corners = box_corners(jnp.asarray(centers), jnp.asarray(sizes),
+                          jnp.asarray(headings))
+    scores = jnp.asarray([[0.9, 0.8]])
+    valid = jnp.ones((1, 2), bool)
+    # identical boxes, different classes -> both survive class-aware NMS
+    keep = np.asarray(
+        nms_oriented(corners, scores, valid, 0.25,
+                     sem_cls=jnp.asarray([[0, 1]]))
+    )
+    assert keep.sum() == 2

@@ -101,6 +101,9 @@ class EvalConfig:
     ap_iou_threshs: tuple[float, ...] = (0.25, 0.5)
     use_3d_nms: bool = True
     cls_nms: bool = True
+    # suppress with oriented BEV IoU (the same IoU AP scores with) instead
+    # of the lineage's axis-aligned hulls
+    use_oriented_nms: bool = False
     per_class_proposal: bool = True
     conf_thresh: float = 0.05
 

@@ -15,7 +15,7 @@ import numpy as np
 from tpu3dsad.config import EvalConfig
 from tpu3dsad.models.decode import predicted_boxes
 from tpu3dsad.ops.boxes import box_corners, corners_to_aabb
-from tpu3dsad.ops.nms import nms_aabb
+from tpu3dsad.ops.nms import nms_aabb, nms_oriented
 
 
 def parse_predictions(end_points, mean_sizes, num_heading_bins: int,
@@ -33,14 +33,25 @@ def parse_predictions(end_points, mean_sizes, num_heading_bins: int,
     bmin, bmax = corners_to_aabb(corners)
 
     valid = end_points["proposal_mask"] & (obj_prob > eval_cfg.objectness_thresh)
-    keep = nms_aabb(
-        bmin,
-        bmax,
-        obj_prob,
-        valid,
-        eval_cfg.nms_iou,
-        sem_cls=sem if eval_cfg.cls_nms else None,
-    )
+    if eval_cfg.use_oriented_nms:
+        # suppress with the same oriented BEV IoU the AP evaluator scores
+        # with (lineage nms_3d_faster used axis-aligned hulls)
+        keep = nms_oriented(
+            corners,
+            obj_prob,
+            valid,
+            eval_cfg.nms_iou,
+            sem_cls=sem if eval_cfg.cls_nms else None,
+        )
+    else:
+        keep = nms_aabb(
+            bmin,
+            bmax,
+            obj_prob,
+            valid,
+            eval_cfg.nms_iou,
+            sem_cls=sem if eval_cfg.cls_nms else None,
+        )
     sem_prob = jax.nn.softmax(end_points["sem_cls_scores"], axis=-1)
     return {
         "center": center,
