@@ -210,3 +210,113 @@ def sharded_knn(
         check_vma=False,  # outputs are replicated by the all_gather merge
     )
     return fn(support, support_mask, query)
+
+
+def sharded_group(
+    points: jnp.ndarray,
+    idx: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "points",
+) -> jnp.ndarray:
+    """Gather [B,M,K] GLOBAL indices from N-sharded points [B,N,C].
+
+    Each shard gathers the subset of indices that land in its contiguous
+    N-range (out-of-range indices clamp and contribute zero) and the
+    results combine with one psum — no N-sized all_gather, so the sharded
+    array never materializes on one chip. == ops.group(points, idx).
+    """
+    B, N, C = points.shape
+    p = mesh.shape[axis]
+    shard_n = N // p
+
+    def local(pts_l, idx_g):
+        shard = jax.lax.axis_index(axis)
+        lo = shard * shard_n
+        local_idx = idx_g - lo
+        mine = (local_idx >= 0) & (local_idx < shard_n)
+        safe = jnp.clip(local_idx, 0, shard_n - 1)
+        Bm, M, K = idx_g.shape
+        flat = jnp.take_along_axis(
+            pts_l, safe.reshape(Bm, M * K, 1).astype(jnp.int32), axis=1
+        ).reshape(Bm, M, K, -1)
+        contrib = jnp.where(mine[..., None], flat, 0.0)
+        return jax.lax.psum(contrib, axis)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis), P()),
+        out_specs=P(),
+        check_vma=False,  # psum replicates the combined gather
+    )
+    return fn(points, idx)
+
+
+def sharded_query_and_group(
+    xyz: jnp.ndarray,
+    centers: jnp.ndarray,
+    radius: float,
+    nsample: int,
+    mesh: Mesh,
+    features: jnp.ndarray | None = None,
+    mask: jnp.ndarray | None = None,
+    use_xyz: bool = True,
+    normalize_xyz: bool = False,
+    axis: str = "points",
+):
+    """query_and_group with the point axis sharded over the mesh — the
+    giant-cloud SA grouping stage (VERDICT r1 #7). Semantics identical to
+    ops.xla.group.query_and_group(exact=True); outputs bitwise equal
+    (tests/distributed/test_sharded_model_path.py)."""
+    idx, cnt = sharded_ball_query(
+        xyz, centers, radius, nsample, mesh, mask=mask, axis=axis
+    )
+    src = xyz if features is None else jnp.concatenate([xyz, features], -1)
+    gathered = sharded_group(src, idx, mesh, axis=axis)
+    grouped_xyz = gathered[..., :3] - centers[:, :, None, :]
+    if normalize_xyz:
+        grouped_xyz = grouped_xyz / radius
+    slot = jnp.arange(nsample, dtype=jnp.int32)[None, None, :]
+    group_mask = slot < cnt[:, :, None]
+    if features is None:
+        grouped = grouped_xyz
+    elif use_xyz:
+        grouped = jnp.concatenate([grouped_xyz, gathered[..., 3:]], axis=-1)
+    else:
+        grouped = gathered[..., 3:]
+    return grouped, idx, group_mask
+
+
+def sharded_sa_stage(
+    xyz: jnp.ndarray,
+    features: jnp.ndarray | None,
+    npoint: int,
+    radius: float,
+    nsample: int,
+    mesh: Mesh,
+    mask: jnp.ndarray | None = None,
+    normalize_xyz: bool = True,
+    axis: str = "points",
+):
+    """The N-touching half of a SetAbstraction layer on an N-sharded cloud:
+    sharded FPS -> center gather -> sharded query_and_group. Everything
+    downstream (shared MLP + masked max over [B,M,K,C]) is N-free and runs
+    replicated. Returns (new_xyz, grouped, inds, group_mask, new_mask)."""
+    inds = sharded_fps(xyz, npoint, mesh, mask=mask, axis=axis)
+    new_xyz = sharded_group(
+        xyz, inds[..., None], mesh, axis=axis
+    )[:, :, 0, :]
+    new_mask = (
+        jnp.ones(inds.shape, bool)
+        if mask is None
+        else sharded_group(
+            mask[..., None].astype(jnp.float32), inds[..., None], mesh,
+            axis=axis,
+        )[:, :, 0, 0] > 0.5
+    )
+    grouped, _, gmask = sharded_query_and_group(
+        xyz, new_xyz, radius, nsample, mesh, features=features, mask=mask,
+        normalize_xyz=normalize_xyz, axis=axis,
+    )
+    gmask = gmask & new_mask[:, :, None]
+    return new_xyz, grouped, inds, gmask, new_mask

@@ -131,6 +131,10 @@ def run_detector(cfg: Config):
             if step % cfg.train.log_every == 0:
                 m = {k: round(float(v), 4) for k, v in metrics.items()}
                 logger.log(step, {"epoch": epoch, **m}, prefix="train/")
+        # fetch one scalar to close the async dispatch pipe before timing
+        # (block_until_ready is a no-op under the axon tunnel; steps are
+        # sequential, so the last step's metrics sync the whole epoch)
+        _ = float(metrics["loss"])
         dt = time.time() - t0
         print(
             json.dumps(
