@@ -226,3 +226,36 @@ def test_iter_val_batches_unit():
     assert len(bs) == 2 and all(b["scene_mask"].all() for b in bs)
     # empty: no batches
     assert list(iter_val_batches([], lambda i: {"x": np.float32(i)}, 3)) == []
+
+
+def test_scannet_multi_candidate_votes(tmp_path, rng):
+    """data.vote_candidates>1: [N,V,3] targets; slot 0 is the instance
+    vote; extra slots hold other containing boxes or copy the primary
+    (losses.py vote_loss min-over-candidates convention)."""
+    _write_scannet(tmp_path)
+    cfg = apply_overrides(
+        Config(),
+        ["data.name=scannet", f"data.root={tmp_path}", "data.num_points=256",
+         "data.max_boxes=8", "data.augment=false", "data.vote_candidates=3"],
+    )
+    ds = get_dataset(cfg)
+    b = ds.train_batch(rng, 2)
+    assert b["vote_targets"].shape == (2, 256, 3, 3)
+    # every candidate of a voting point lands on SOME GT center
+    for bi in range(2):
+        vm = b["vote_mask"][bi]
+        if not vm.any():
+            continue
+        pts = b["points"][bi][vm]  # [n,3]
+        for v in range(3):
+            tgt = pts + b["vote_targets"][bi][vm][:, v]
+            gt = b["gt_centers"][bi][b["gt_mask"][bi]]
+            d = np.min(np.linalg.norm(tgt[:, None] - gt[None], axis=-1), axis=-1)
+            assert d.max() < 0.75
+    # default stays single-candidate [N,3]
+    cfg1 = apply_overrides(
+        Config(),
+        ["data.name=scannet", f"data.root={tmp_path}", "data.num_points=256",
+         "data.max_boxes=8"],
+    )
+    assert get_dataset(cfg1).train_batch(rng, 1)["vote_targets"].shape == (1, 256, 3)

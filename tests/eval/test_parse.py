@@ -65,3 +65,49 @@ def test_predictions_to_lists_per_class(rng):
     for _, corners, score in lists[0]:
         assert corners.shape == (8, 3)
         assert 0 < score <= 1
+
+
+def test_predictions_to_lists_matches_reference_loop(rng):
+    """Vectorized emission == the original triple loop, including order."""
+    from tpu3dsad.config import EvalConfig
+    from tpu3dsad.eval.parse import predictions_to_lists
+
+    B, P, C = 3, 32, 6
+    parsed = {
+        "keep": rng.random((B, P)) < 0.5,
+        "corners": rng.standard_normal((B, P, 8, 3)).astype(np.float32),
+        "obj_prob": rng.random((B, P)).astype(np.float32),
+        "sem_prob": rng.random((B, P, C)).astype(np.float32),
+        "sem_cls": rng.integers(0, C, (B, P)).astype(np.int32),
+    }
+
+    def reference(cfg):
+        out = []
+        for b in range(B):
+            dets = []
+            for p in range(P):
+                if not parsed["keep"][b, p]:
+                    continue
+                if cfg.per_class_proposal:
+                    for c in range(C):
+                        s = parsed["obj_prob"][b, p] * parsed["sem_prob"][b, p, c]
+                        if s > cfg.conf_thresh:
+                            dets.append((c, parsed["corners"][b, p], float(s)))
+                else:
+                    sc = int(parsed["sem_cls"][b, p])
+                    s = float(parsed["obj_prob"][b, p] * parsed["sem_prob"][b, p, sc])
+                    if s > cfg.conf_thresh:
+                        dets.append((sc, parsed["corners"][b, p], s))
+            out.append(dets)
+        return out
+
+    for pcp in (True, False):
+        cfg = EvalConfig(per_class_proposal=pcp, conf_thresh=0.2)
+        got = predictions_to_lists(parsed, cfg, C)
+        want = reference(cfg)
+        assert len(got) == len(want)
+        for gb, wb in zip(got, want):
+            assert len(gb) == len(wb)
+            for (gc, gcor, gs), (wc, wcor, ws) in zip(gb, wb):
+                assert gc == wc and abs(gs - ws) < 1e-6
+                np.testing.assert_array_equal(gcor, wcor)

@@ -65,6 +65,11 @@ class DataConfig:
     aug_rot_range: float = 0.17453293  # ±rad; lineage ScanNet π/18
     aug_scale_min: float = 0.9
     aug_scale_max: float = 1.1
+    # vote candidates per point (lineage GT_VOTE_FACTOR). 1 = single owner
+    # (ScanNet instance labels are unique — the lineage convention). >1:
+    # points inside several GT boxes carry up to V candidate offsets and
+    # the vote loss takes the min (losses.py vote_loss)
+    vote_candidates: int = 1
 
 
 @dataclass(frozen=True)

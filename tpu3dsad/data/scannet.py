@@ -123,6 +123,7 @@ class ScanNetDetectionDataset:
         # vote targets: points of an annotated instance of a benchmark class
         # vote for the instance centroid's owning bbox center. Instance →
         # bbox matching: bbox whose center is closest to the instance median.
+        V = max(1, self.cfg.data.vote_candidates)
         votes = np.zeros((n_budget, 3), np.float32)
         vmask = np.zeros(n_budget, bool)
         if len(centers):
@@ -138,6 +139,20 @@ class ScanNetDetectionDataset:
                 b = int(np.argmin(np.sum((centers - med) ** 2, -1)))
                 votes[pt_idx] = centers[b] - points[pt_idx]
                 vmask[pt_idx] = True
+        if V > 1:
+            # lineage GT_VOTE_FACTOR>1: a voting point inside several GT
+            # boxes carries each box center as a candidate; unused slots
+            # COPY the primary offset (losses.py vote_loss takes the min)
+            votes = np.repeat(votes[:, None, :], V, axis=1)  # [N,V,3]
+            if len(centers):
+                rel = points[vmask][:, None, :] - centers[None, :, :]
+                half = sizes[None, :, :] / 2
+                inside = np.all(np.abs(rel) <= half + 1e-6, -1)  # [n,G]
+                vp = np.nonzero(vmask)[0]
+                for row, p in enumerate(vp):
+                    cands = np.nonzero(inside[row])[0][: V - 1]
+                    for slot, b in enumerate(cands, start=1):
+                        votes[p, slot] = centers[b] - points[p]
 
         max_boxes = self.cfg.data.max_boxes
         c, bm = pad_boxes(centers, max_boxes)

