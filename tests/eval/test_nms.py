@@ -158,3 +158,18 @@ def test_oriented_nms_class_aware(rng):
                      sem_cls=jnp.asarray([[0, 1]]))
     )
     assert keep.sum() == 2
+
+
+def test_bev_nms_ignores_z(rng):
+    """eval.use_3d_nms=False: two boxes overlapping in BEV but stacked at
+    different heights ARE suppressed by BEV NMS, kept by 3D NMS."""
+    from tpu3dsad.ops.nms import nms_bev
+
+    bmin = jnp.asarray([[[0, 0, 0], [0.1, 0.1, 5.0]]], jnp.float32)
+    bmax = jnp.asarray([[[1, 1, 1], [1.1, 1.1, 6.0]]], jnp.float32)
+    scores = jnp.asarray([[0.9, 0.8]])
+    valid = jnp.ones((1, 2), bool)
+    keep3d = np.asarray(nms_aabb(bmin, bmax, scores, valid, 0.25))
+    keep2d = np.asarray(nms_bev(bmin, bmax, scores, valid, 0.25))
+    assert keep3d.sum() == 2  # no 3D overlap (disjoint z)
+    assert keep2d.tolist() == [[True, False]]  # ~0.66 BEV IoU

@@ -15,7 +15,7 @@ import numpy as np
 from tpu3dsad.config import EvalConfig
 from tpu3dsad.models.decode import predicted_boxes
 from tpu3dsad.ops.boxes import box_corners, corners_to_aabb
-from tpu3dsad.ops.nms import nms_aabb, nms_oriented
+from tpu3dsad.ops.nms import nms_aabb, nms_bev, nms_oriented
 
 
 def parse_predictions(end_points, mean_sizes, num_heading_bins: int,
@@ -44,7 +44,10 @@ def parse_predictions(end_points, mean_sizes, num_heading_bins: int,
             sem_cls=sem if eval_cfg.cls_nms else None,
         )
     else:
-        keep = nms_aabb(
+        # lineage parse_predictions: use_3d_nms selects nms_3d_faster vs
+        # the 2D BEV nms_2d_faster on the axis-aligned hulls
+        nms_fn = nms_aabb if eval_cfg.use_3d_nms else nms_bev
+        keep = nms_fn(
             bmin,
             bmax,
             obj_prob,

@@ -40,6 +40,23 @@ def nms_aabb(
     return _greedy_suppress(iou, scores, valid, iou_thresh)
 
 
+def nms_bev(
+    box_min: jnp.ndarray,
+    box_max: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thresh: float,
+    sem_cls: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """2D bird's-eye-view NMS (lineage nms_2d_faster, eval.use_3d_nms=False):
+    suppression IoU ignores the z extent. Same inputs as nms_aabb."""
+    # collapsing z to a constant slab makes 3D AABB IoU == 2D BEV IoU
+    z0 = jnp.zeros_like(box_min[..., 2:3])
+    bmin = jnp.concatenate([box_min[..., :2], z0], -1)
+    bmax = jnp.concatenate([box_max[..., :2], z0 + 1.0], -1)
+    return nms_aabb(bmin, bmax, scores, valid, iou_thresh, sem_cls=sem_cls)
+
+
 def nms_oriented(
     corners: jnp.ndarray,
     scores: jnp.ndarray,
