@@ -55,6 +55,22 @@ def test_sharded_fps_exact(rng, mesh):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_sharded_fps_one_collective_per_pick(rng, mesh):
+    """The pick loop is collective-latency-bound; the packed-payload design
+    must keep it at exactly ONE all_gather per pick (value+index+coords ride
+    one [B,5] record), with the seed psum hoisted outside the loop."""
+    import re
+
+    import jax
+
+    xyz = jnp.asarray(rng.uniform(-1, 1, (2, 512, 3)).astype(np.float32))
+    txt = jax.jit(lambda x: sharded_fps(x, 48, mesh)).lower(xyz).as_text()
+    # one while loop; its body region holds the per-pick collectives
+    body = txt[txt.index("stablehlo.while") :]
+    assert len(re.findall(r'"stablehlo\.all_gather"', body)) == 1
+    assert len(re.findall(r'"stablehlo\.all_reduce"', body)) == 0
+
+
 def test_sharded_knn_exact(rng, mesh):
     B, M, N, k = 2, 33, 512, 3
     q = jnp.asarray(rng.uniform(-1, 1, (B, M, 3)).astype(np.float32))

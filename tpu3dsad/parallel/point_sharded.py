@@ -105,13 +105,18 @@ def sharded_fps(
 ) -> jnp.ndarray:
     """Exact FPS with N sharded over `axis` (docs/context_parallel.md).
 
-    Per pick: local min-dist update + local argmax, then a tiny all_gather
-    of p (value, global-index) pairs; ties resolve to the lowest GLOBAL
-    index, matching the single-device rule. The winning point's coordinates
-    are recovered with a masked-one-hot psum — no gather of the sharded
-    array. Returns idx [B, npoint] global, == ops.furthest_point_sample.
+    Per pick: local min-dist update + local argmax, then ONE tiny all_gather
+    of each shard's packed candidate record (value, global index, candidate
+    coords) — [B,5] fp32 per shard. Ties resolve to the lowest GLOBAL index,
+    matching the single-device rule; the winner's coordinates come from the
+    proposing shard's record, so no second collective (the r1 design used
+    two all_gathers + a one-hot psum per pick — 3 collectives; the sequential
+    loop is collective-latency-bound, so packing is a direct ~3× on the
+    per-pick floor). Indices ride the fp32 payload exactly (N < 2²⁴).
+    Returns idx [B, npoint] global, == ops.furthest_point_sample.
     """
     B, N, _ = xyz.shape
+    assert N < (1 << 24), "global index must be exact in fp32 payload"
     p = mesh.shape[axis]
     shard_n = N // p
     if mask is None:
@@ -124,7 +129,7 @@ def sharded_fps(
         glane = lane + shard * shard_n
 
         def coords_of(g):
-            """[B] global index -> [B,3] coords via one-hot psum."""
+            """[B] global index -> [B,3] coords via one-hot psum (setup only)."""
             onehot = (glane == g[:, None]).astype(xyz_l.dtype)  # [B,n_l]
             local_sum = jnp.einsum("bn,bnc->bc", onehot, xyz_l)
             return jax.lax.psum(local_sum, axis)
@@ -141,14 +146,27 @@ def sharded_fps(
             lidx = jnp.min(
                 jnp.where(dist == lbest[:, None], glane, jnp.int32(N)), axis=1
             )
-            vals = jax.lax.all_gather(lbest, axis)  # [p, B]
-            gids = jax.lax.all_gather(lidx, axis)  # [p, B]
+            # candidate's own coords via local one-hot (exact copy of xyz)
+            oh = (glane == lidx[:, None]).astype(xyz_l.dtype)
+            cand_c = jnp.einsum("bn,bnc->bc", oh, xyz_l)  # [B,3]
+            payload = jnp.concatenate(
+                [lbest[:, None], lidx[:, None].astype(jnp.float32), cand_c],
+                axis=1,
+            )  # [B, 5]
+            rec = jax.lax.all_gather(payload, axis)  # [p, B, 5]
+            vals, fids = rec[..., 0], rec[..., 1]
             best = jnp.max(vals, axis=0)
             g = jnp.min(
-                jnp.where(vals == best[None, :], gids, jnp.int32(N)), axis=0
+                jnp.where(vals == best[None, :], fids, float(N)), axis=0
             ).astype(jnp.int32)
+            # exactly one shard proposed g (shard index ranges are disjoint,
+            # and g is the min of the gathered ids, so its proposer matches)
+            win = (vals == best[None, :]) & (fids == g[None, :].astype(
+                jnp.float32))
+            nextc = jnp.einsum("pb,pbc->bc", win.astype(xyz_l.dtype),
+                               rec[..., 2:5])
             idx = jax.lax.dynamic_update_slice_in_dim(idx, g[:, None], i, 1)
-            return dist, coords_of(g), idx
+            return dist, nextc, idx
 
         _, _, idx = jax.lax.fori_loop(1, npoint, body, (dist0, c0, idx0))
         return idx
