@@ -35,6 +35,8 @@ def bench(fn, *args, reps=5):
 
 rng = np.random.default_rng(0)
 for (B, N, M, K, r) in [(8, 20480, 2048, 64, 0.2), (32, 20480, 2048, 64, 0.2),
+                        (32, 20480, 2048, 64, 0.8),  # dense balls: centers
+                        # saturate K mid-sweep -> whole-tile skip territory
                         (8, 2048, 1024, 32, 0.4)]:
     xyz = jnp.asarray(rng.uniform(-4, 4, (B, N, 3)).astype(np.float32))
     centers = jnp.asarray(np.asarray(xyz[:, :M]))

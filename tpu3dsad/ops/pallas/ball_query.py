@@ -61,50 +61,70 @@ def _kernel(c_ref, xT_ref, u_ref, out_ref, run_ref, *, r2: float, k: int,
         out_ref[...] = jnp.zeros_like(out_ref)
         run_ref[...] = jnp.zeros_like(run_ref)
 
-    c = c_ref[0]  # [Mt, 3]
-    x = xT_ref[0]  # [3, Nt]
-    # same per-point summation order as the numpy oracle: dx²+dy²+dz²
-    d2 = (
-        (c[:, 0:1] - x[0:1, :]) ** 2
-        + (c[:, 1:2] - x[1:2, :]) ** 2
-        + (c[:, 2:3] - x[2:3, :]) ** 2
-    )  # [Mt, Nt] fp32
-    within = d2 < r2
-    wf = within.astype(jnp.float32)
+    # Once every center in this block holds K points (min running count ≥ K)
+    # later tiles can write nothing: rank ≥ run ≥ K kills every `ok`, and
+    # run itself is only read through rank — skip the whole tile body.
+    @pl.when(jnp.min(run_ref[...]) < k)
+    def _tile_body():
+        c = c_ref[0]  # [Mt, 3]
+        x = xT_ref[0]  # [3, Nt]
+        # same per-point summation order as the numpy oracle: dx²+dy²+dz²
+        d2 = (
+            (c[:, 0:1] - x[0:1, :]) ** 2
+            + (c[:, 1:2] - x[1:2, :]) ** 2
+            + (c[:, 2:3] - x[2:3, :]) ** 2
+        )  # [Mt, Nt] fp32
+        within = d2 < r2
+        wf = within.astype(jnp.float32)
 
-    # exclusive in-ball rank = carried count + (inclusive prefix - self).
-    # 0/1 bf16 matmul with fp32 accumulation is exact for counts ≤ Nt.
-    incl = jnp.dot(
-        within.astype(jnp.bfloat16), u_ref[...],
-        preferred_element_type=jnp.float32,
-    )
-    rank = run_ref[...] + incl - wf  # [Mt, Nt]
-
-    ok = within & (rank < k)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (mt, nt), 1).astype(jnp.float32)
-    val = jnp.where(ok, lane + (ni * nt + 1.0), 0.0)  # global idx + 1
-
-    q_arr = jnp.floor(rank * (1.0 / _R_WIDTH))  # exact: power-of-2 scale
-    r_arr = rank - _R_WIDTH * q_arr
-    r_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (mt, _R_WIDTH, nt), 1
-    ).astype(jnp.float32)
-    oh_r = (r_arr[:, None, :] == r_iota).astype(jnp.float32)  # [Mt,8,Nt]
-
-    # K/8 batched mat-vecs on the MXU; at most one n contributes per (m, r)
-    # so the sums are exact. (A single fused [nq,Nt]@[Nt,8] dot_general was
-    # tried; Mosaic rejects the needed 3D lane reshape/slice patterns.)
-    for q in range(k // _R_WIDTH):
-        vq = jnp.where(q_arr == q, val, 0.0)  # [Mt, Nt]
-        contrib = jax.lax.dot_general(
-            oh_r, vq,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        # exclusive in-ball rank = carried count + (inclusive prefix - self).
+        # 0/1 bf16 matmul with fp32 accumulation is exact for counts ≤ Nt.
+        incl = jnp.dot(
+            within.astype(jnp.bfloat16), u_ref[...],
             preferred_element_type=jnp.float32,
-        )  # [Mt, 8]
-        sl = slice(q * _R_WIDTH, (q + 1) * _R_WIDTH)
-        out_ref[0, :, sl] += contrib
+        )
+        rank = run_ref[...] + incl - wf  # [Mt, Nt]
 
-    run_ref[...] += jnp.sum(wf, axis=1, keepdims=True)
+        ok = within & (rank < k)
+        okf = ok.astype(jnp.float32)
+
+        # Ranks touched by this tile span a narrow window (each center's
+        # ranks move by its per-tile hit count), so most of the K/8 q-slices
+        # have no writer. Two scalar reductions bound the active q range and
+        # gate each iteration; a third skips the scatter stage entirely when
+        # the tile contributes nothing (common late in the sweep).
+        q_of = jnp.floor(rank * (1.0 / _R_WIDTH))  # exact: power-of-2 scale
+        qlo = jnp.min(jnp.where(ok, q_of, jnp.float32(k)))
+        qhi = jnp.max(jnp.where(ok, q_of, jnp.float32(-1.0)))
+
+        @pl.when(qhi >= 0.0)
+        def _scatter():
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (mt, nt), 1
+            ).astype(jnp.float32)
+            val = okf * (lane + (ni * nt + 1.0))  # global idx + 1, 0 if !ok
+            r_arr = rank - _R_WIDTH * q_of
+            r_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (mt, _R_WIDTH, nt), 1
+            ).astype(jnp.float32)
+            oh_r = (r_arr[:, None, :] == r_iota).astype(jnp.float32)
+
+            # K/8 batched mat-vecs on the MXU; at most one n contributes per
+            # (m, r) so the sums are exact. (A single fused [nq,Nt]@[Nt,8]
+            # dot_general was tried; Mosaic rejects the 3D lane reshape.)
+            for q in range(k // _R_WIDTH):
+                @pl.when((qlo <= q) & (q <= qhi))
+                def _(q=q):
+                    vq = jnp.where(q_of == q, val, 0.0)  # [Mt, Nt]
+                    contrib = jax.lax.dot_general(
+                        oh_r, vq,
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )  # [Mt, 8]
+                    sl = slice(q * _R_WIDTH, (q + 1) * _R_WIDTH)
+                    out_ref[0, :, sl] += contrib
+
+        run_ref[...] += jnp.sum(wf, axis=1, keepdims=True)
 
 
 def _pick_tiles(m: int, n: int) -> tuple[int, int] | None:
