@@ -47,7 +47,8 @@ class ModelConfig:
 
 @dataclass(frozen=True)
 class DataConfig:
-    name: str = "scannet"  # 'synthetic' | 'modelnet' | 'scannet' | 'sunrgbd' | 'kitti'
+    name: str = "scannet"  # 'synthetic' | 'modelnet' | 'scannet' | 'sunrgbd'
+    # | 'kitti' | 'packed' (memory-mapped pre-frozen scenes, data/packed.py)
     root: str = ""
     num_points: int = 40960
     max_boxes: int = 64

@@ -64,4 +64,8 @@ def get_dataset(cfg: Config):
         from tpu3dsad.data.kitti import KittiDetectionDataset
 
         return KittiDetectionDataset(cfg)
+    if name == "packed":
+        from tpu3dsad.data.packed import PackedDetectionDataset
+
+        return PackedDetectionDataset(cfg)
     raise ValueError(f"unknown dataset {name!r}")

@@ -107,14 +107,19 @@ def run_detector(cfg: Config):
             )
 
         batcher = None
-        batches = iter(_gen, object())  # infinite
+        raw_batches = iter(_gen, object())  # infinite
     else:
         batcher = Batcher(
             lambda rng: dataset.train_batch(rng, cfg.train.batch_size),
             seed=cfg.train.seed,
             prefetch=2,
         )
-        batches = iter(batcher)
+        raw_batches = iter(batcher)
+    # double-buffered device feed: batch i+1's host→HBM copy (or on-device
+    # generation) is dispatched before step i is consumed (data/packed.py)
+    from tpu3dsad.data.packed import device_prefetch
+
+    batches = device_prefetch(raw_batches, mesh)
 
     key = jax.random.key(cfg.train.seed + 1)
     step = start_step
@@ -122,9 +127,7 @@ def run_detector(cfg: Config):
         bn_m = train_lib.bn_momentum_at(cfg.train, epoch)
         t0 = time.time()
         for _ in range(steps_per_epoch):
-            batch = shard_batch(
-                {k: jnp.asarray(v) for k, v in next(batches).items()}, mesh
-            )
+            batch = next(batches)  # already sharded by device_prefetch
             key, sub = jax.random.split(key)
             state, metrics = train_step(state, batch, sub, bn_m)
             step += 1
