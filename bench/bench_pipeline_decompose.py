@@ -45,12 +45,14 @@ def timeit(fn, *args, reps=8):
     return np.median(ts) * 1e3
 
 
-# stage variants (each its own jitted program; deltas = stage costs)
-full = jax.jit(lambda p, m: parse_predictions(
+# stage variants (each its own jitted program; deltas = stage costs).
+# Outputs reduce to a SCALAR on device: fetching full tensors through the
+# axon tunnel (~50MB/s) would swamp compute (seed_features alone is 33MB).
+full = jax.jit(lambda p, m: jnp.sum(parse_predictions(
     model.apply(variables, p, mask=m, train=False),
-    mean_sizes, cfg.num_heading_bins, eval_cfg)["keep"])
-fwd_only = jax.jit(lambda p, m: model.apply(
-    variables, p, mask=m, train=False)["objectness_scores"])
+    mean_sizes, cfg.num_heading_bins, eval_cfg)["keep"]))
+fwd_only = jax.jit(lambda p, m: jnp.sum(model.apply(
+    variables, p, mask=m, train=False)["objectness_scores"]))
 
 # standalone backbone (fresh params — same cost profile as the detector's)
 from tpu3dsad.models.backbone import PointNet2Backbone
@@ -59,14 +61,18 @@ bb_model = PointNet2Backbone(cfg)
 bb_vars = jax.jit(
     lambda k: bb_model.init(k, pts, None, mask=mask, train=False)
 )(jax.random.key(1))
-bb_j = jax.jit(lambda p, m: bb_model.apply(
-    bb_vars, p, None, mask=m, train=False)["seed_features"])
+bb_j = jax.jit(lambda p, m: jnp.sum(bb_model.apply(
+    bb_vars, p, None, mask=m, train=False)["seed_features"]))
 
 # dominant standalone ops at SA1 scale
-fps_j = jax.jit(lambda p, m: ops.furthest_point_sample(p, 2048, mask=m))
-centers = ops.gather(pts, fps_j(pts, mask))
-grp_j = jax.jit(lambda p, c, m: ops.query_and_group(
-    p, c, 0.2, 64, mask=m, exact=False)[0])
+fps_j = jax.jit(lambda p, m: jnp.sum(ops.furthest_point_sample(p, 2048, mask=m)))
+# under jit: the eager kernel call at b=32 hits the documented operand-
+# layout VMEM quirk (docs/kernel_notes.md)
+centers = jax.jit(
+    lambda p, m: ops.gather(p, ops.furthest_point_sample(p, 2048, mask=m))
+)(pts, mask)
+grp_j = jax.jit(lambda p, c, m: jnp.sum(ops.query_and_group(
+    p, c, 0.2, 64, mask=m, exact=False)[0]))
 
 # dispatch floor: trivial jitted program + fetch
 floor_j = jax.jit(lambda p: jnp.sum(p))

@@ -48,7 +48,12 @@ def main(argv):
         tx,
         jax.random.key(0),
     )
-    state, step = train_lib.restore_checkpoint(cfg.train.ckpt_dir, state, for_eval=True)
+    ckpt = cfg.train.ckpt_dir
+    if cfg.eval.use_best:  # best-mAP snapshot (train_lib.save_best_checkpoint)
+        import os
+
+        ckpt = os.path.join(cfg.train.ckpt_dir, "best")
+    state, step = train_lib.restore_checkpoint(ckpt, state, for_eval=True)
     if step == 0:
         print("WARNING: no checkpoint found — evaluating random weights",
               file=sys.stderr)
@@ -105,7 +110,12 @@ def eval_classifier(cfg):
         tx,
         jax.random.key(0),
     )
-    state, step = train_lib.restore_checkpoint(cfg.train.ckpt_dir, state, for_eval=True)
+    ckpt = cfg.train.ckpt_dir
+    if cfg.eval.use_best:  # best-mAP snapshot (train_lib.save_best_checkpoint)
+        import os
+
+        ckpt = os.path.join(cfg.train.ckpt_dir, "best")
+    state, step = train_lib.restore_checkpoint(ckpt, state, for_eval=True)
     if step == 0:
         print("WARNING: no checkpoint found — evaluating random weights",
               file=sys.stderr)

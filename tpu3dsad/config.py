@@ -112,6 +112,9 @@ class EvalConfig:
     use_oriented_nms: bool = False
     per_class_proposal: bool = True
     conf_thresh: float = 0.05
+    # evaluate the best-mAP snapshot (<ckpt_dir>/best, written whenever the
+    # train-loop eval improves) instead of the latest rolling checkpoint
+    use_best: bool = False
 
 
 @dataclass(frozen=True)

@@ -162,6 +162,12 @@ def run_detector(cfg: Config):
             per_cls = {k: v for k, v in m.items() if isinstance(v, dict)}
             if per_cls:
                 print(json.dumps({"epoch": epoch, **per_cls}))
+            # best-mAP retention (SURVEY §5): snapshot to <ckpt_dir>/best
+            lead = m.get(f"mAP@{cfg.eval.ap_iou_threshs[0]}")
+            if lead is not None and train_lib.save_best_checkpoint(
+                cfg.train.ckpt_dir, state, step, lead
+            ):
+                print(json.dumps({"epoch": epoch, "new_best_mAP": lead}))
     if batcher is not None:
         batcher.close()
     logger.flush()

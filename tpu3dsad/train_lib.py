@@ -211,6 +211,42 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int, keep: int = 3):
         )
 
 
+def save_best_checkpoint(ckpt_dir: str, state: TrainState, step: int,
+                         metric: float) -> bool:
+    """Best-metric retention next to the rolling last-k (SURVEY.md §5
+    "orbax keeps last-k + best-mAP"): when `metric` (higher is better —
+    the eval mAP) improves on the recorded best, snapshot into
+    `<ckpt_dir>/best` (max_to_keep=1) and record it in `<ckpt_dir>/best.json`.
+    Returns True when a new best was written."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(ckpt_dir)
+    os.makedirs(path, exist_ok=True)
+    rec_path = os.path.join(path, "best.json")
+    best = -float("inf")
+    if os.path.exists(rec_path):
+        with open(rec_path) as f:
+            best = json.load(f)["metric"]
+    if metric <= best:
+        return False
+    with ocp.CheckpointManager(
+        os.path.join(path, "best"),
+        options=ocp.CheckpointManagerOptions(max_to_keep=1),
+    ) as mgr:
+        mgr.save(
+            step,
+            args=ocp.args.StandardSave(
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "opt_state": state.opt_state, "step": step}
+            ),
+        )
+    with open(rec_path, "w") as f:
+        json.dump({"metric": float(metric), "step": int(step)}, f)
+    return True
+
+
 def restore_checkpoint(ckpt_dir: str, state: TrainState,
                        for_eval: bool = False) -> tuple[TrainState, int]:
     """Auto-resume contract (lineage train.py): restore latest if present.
