@@ -56,3 +56,28 @@ def test_immutability():
     cfg = Config()
     with pytest.raises(Exception):
         cfg.train.lr = 0.5  # frozen dataclass
+
+
+def test_nested_tuple_overrides_preserve_structure():
+    """Regression: the strip-and-split coercion silently FLATTENED nested
+    tuples — '((16,16),(16,32))' became ((16,),(16,),(16,),(32,)), so every
+    CLI run with explicit sa_channels built single-layer MLPs."""
+    cfg = apply_overrides(
+        Config(),
+        ["model.sa_channels=((16,16),(16,32),(16,32),(16,32))",
+         "model.fp_channels=((32, 32), (64,))"],
+    )
+    assert cfg.model.sa_channels == ((16, 16), (16, 32), (16, 32), (16, 32))
+    assert cfg.model.fp_channels == ((32, 32), (64,))
+
+
+def test_tuple_overrides_with_spaces_and_scalars():
+    cfg = apply_overrides(
+        Config(),
+        ["model.sa_radii=(0.2, 0.4, 0.8)", "train.lr_decay_steps=80,120",
+         "train.mesh_axes=data", "model.cluster_radius_bank=(0.3)"],
+    )
+    assert cfg.model.sa_radii == (0.2, 0.4, 0.8)
+    assert cfg.train.lr_decay_steps == (80, 120)
+    assert cfg.train.mesh_axes == ("data",)
+    assert cfg.model.cluster_radius_bank == (0.3,)

@@ -59,6 +59,43 @@ def test_kernel_multi_tile_rank_carry(rng):
     np.testing.assert_array_equal(np.asarray(pc), np.asarray(xc))
 
 
+def test_kernel_true_multi_tile_saturation_and_skip(rng):
+    """N=2048/M=256 compiles to 4 N-tiles (Mt=256, Nt=512): exercises the
+    run-count carry, the whole-tile-body skip once a block saturates, and
+    the qlo/qhi scatter gating across the full q range (K=64 → q∈0..7)."""
+    from tpu3dsad.ops.pallas.ball_query import _pick_tiles
+
+    assert _pick_tiles(256, 2048) == (256, 512)  # pin the multi-tile layout
+    xyz, centers = _mk(rng, B=2, N=2048, M=256, spread=0.35)
+    pi, pc = bq_pallas(xyz, centers, 0.7, 64)
+    xi, xc = bq_xla(xyz, centers, 0.7, 64)
+    assert np.asarray(pc).min() == 64  # dense: every center saturates
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+    np.testing.assert_array_equal(np.asarray(pc), np.asarray(xc))
+
+
+def test_kernel_mixed_saturated_and_sparse_block(rng):
+    """Half the centers saturate early, half see few/no points: the block
+    never qualifies for the whole-tile skip (min run < K), sparse centers
+    keep low-q scatter active while saturated ones must stop writing."""
+    xyz = rng.uniform(-0.25, 0.25, (1, 2048, 3)).astype(np.float32)
+    centers = np.concatenate(
+        [
+            xyz[:, :128] * 0.9,              # dense: saturate fast
+            np.full((1, 96, 3), 3.0, np.float32),   # empty balls
+            xyz[:, 128:160] + 0.52,          # grazing: a few members
+        ],
+        axis=1,
+    )
+    xyz_j, c_j = jnp.asarray(xyz), jnp.asarray(centers)
+    pi, pc = bq_pallas(xyz_j, c_j, 0.55, 64)
+    xi, xc = bq_xla(xyz_j, c_j, 0.55, 64)
+    pc_np = np.asarray(pc)
+    assert pc_np[0, :128].min() == 64 and pc_np[0, 128:224].max() == 0
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+    np.testing.assert_array_equal(pc_np, np.asarray(xc))
+
+
 def test_kernel_empty_balls(rng):
     xyz, centers = _mk(rng)
     idx, cnt = bq_pallas(xyz, centers + 50.0, 0.3, 16)

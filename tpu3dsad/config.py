@@ -129,6 +129,27 @@ class Config:
     ops_fast_grouping: bool = True
 
 
+def _coerce_obj(obj: Any, typ: Any):
+    """Coerce an already-parsed python value (from ast.literal_eval) onto the
+    annotated config type, recursing through nested tuples."""
+    import typing
+
+    origin = typing.get_origin(typ)
+    if origin is tuple:
+        args = typing.get_args(typ)
+        elem = args[0] if args else str
+        if not isinstance(obj, (list, tuple)):
+            obj = (obj,)  # '(80)' evaluates to a scalar — promote
+        return tuple(_coerce_obj(o, elem) for o in obj)
+    if typ is bool:
+        return bool(obj)
+    if typ is int:
+        return int(obj)
+    if typ is float:
+        return float(obj)
+    return obj if isinstance(obj, str) else str(obj)
+
+
 def _coerce(val: str, typ: Any):
     import typing
 
@@ -136,9 +157,20 @@ def _coerce(val: str, typ: Any):
     if origin is tuple:
         args = typing.get_args(typ)
         elem = args[0] if args else str
-        if val.strip() == "()" or val.strip() == "":
+        s = val.strip()
+        if s in ("()", ""):
             return ()
-        parts = [p for p in val.strip("()[] ").split(",") if p.strip()]
+        # literal_eval handles NESTED tuples (and spaces) correctly — the
+        # old strip-and-split silently flattened '((16,16),(16,32))' into
+        # singleton tuples. Unquoted strings (mesh_axes=data) aren't python
+        # literals; those fall back to the flat split below.
+        import ast
+
+        try:
+            return _coerce_obj(ast.literal_eval(s), typ)
+        except (ValueError, SyntaxError):
+            pass
+        parts = [p for p in s.strip("()[] ").split(",") if p.strip()]
         return tuple(_coerce(p.strip(), elem) for p in parts)
     if typ is bool or typ == "bool":
         return val.lower() in ("1", "true", "yes", "on")

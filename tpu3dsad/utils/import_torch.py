@@ -186,3 +186,95 @@ def load_torch_checkpoint(path: str) -> dict:
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model_state_dict", ckpt)
     return {k: v.detach().numpy() for k, v in sd.items()}
+
+
+def main(argv):
+    """Convert a lineage `checkpoint.tar` into an orbax checkpoint directory
+    this framework's CLIs load directly (the user-facing switchover path):
+
+      python -m tpu3dsad.utils.import_torch ckpt=<checkpoint.tar> \
+          out=<ckpt_dir> [section.key=value overrides...]
+
+    The detector is built in proposal_mode='lineage' (the importable
+    fixed-radius head) at the override-specified shapes; the import is saved
+    as a step-1 orbax state, so `eval.py train.ckpt_dir=<out>` evaluates the
+    ported weights and `train.py` auto-resumes = fine-tunes from them.
+    Prints a JSON coverage report; exits nonzero if any source tensor could
+    not be placed (parity would be silently broken otherwise)."""
+    import json
+    import sys
+    from dataclasses import replace
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3dsad import train_lib
+    from tpu3dsad.config import parse_cli
+    from tpu3dsad.models.detector import SizeAdaptiveDetector
+
+    kv, rest = {}, []
+    for a in argv:
+        key = a.split("=", 1)[0]
+        if key in ("ckpt", "out"):
+            kv[key] = a.split("=", 1)[1]
+        else:
+            rest.append(a)
+    if "ckpt" not in kv or "out" not in kv:
+        raise SystemExit(main.__doc__)
+    cfg = parse_cli(rest)
+    if cfg.model.proposal_mode != "lineage":
+        cfg = replace(cfg, model=replace(cfg.model, proposal_mode="lineage"))
+
+    sd = {
+        k: v
+        for k, v in load_torch_checkpoint(kv["ckpt"]).items()
+        if "num_batches_tracked" not in k  # torch BN bookkeeping, not weights
+    }
+
+    model = SizeAdaptiveDetector(cfg.model)
+    pts = jnp.zeros((1, cfg.data.num_points, 3), jnp.float32)
+    feats = (
+        jnp.zeros((1, cfg.data.num_points, 3), jnp.float32)
+        if cfg.data.use_color
+        else None
+    )
+    variables = jax.jit(
+        lambda k: model.init(k, pts, feats, train=False)
+    )(jax.random.key(0))
+    variables = {
+        "params": jax.tree.map(np.asarray, variables["params"]),
+        "batch_stats": jax.tree.map(np.asarray, variables["batch_stats"]),
+    }
+    new_vars, copied, skipped = import_lineage_weights(sd, variables)
+
+    tx = train_lib.make_optimizer(cfg.train, steps_per_epoch=100)
+    state = train_lib.TrainState.create(
+        apply_fn=model.apply,
+        params=new_vars["params"],
+        batch_stats=new_vars["batch_stats"],
+        tx=tx,
+    )
+    train_lib.save_checkpoint(kv["out"], state, step=1)
+    print(
+        json.dumps(
+            {
+                "copied": len(copied),
+                "total_source_tensors": len(sd),
+                "skipped": skipped,
+                "out": kv["out"],
+            }
+        )
+    )
+    if skipped:
+        print(
+            "ERROR: unported lineage tensors (shape/layout mismatch with "
+            "the configured model) — fix the overrides",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(sys.argv[1:])
