@@ -84,3 +84,53 @@ def test_sharded_sa_stage_end_to_end_bitwise(rng):
     pooled = ops.masked_max(grouped, gmask, axis=2)
     pooled_w = ops.masked_max(grouped_w, gmask_w, axis=2)
     np.testing.assert_array_equal(np.asarray(pooled), np.asarray(pooled_w))
+
+
+def test_hybrid_dp_cp_sa_stage_bitwise(rng):
+    """Hybrid DP x CP on ONE 2x4 mesh (('data','points')): batch sharded
+    over 'data', N sharded over 'points'. Collectives ride the points axis
+    only; the result must still be bitwise the unsharded program."""
+    mesh2d = make_mesh((2, 4), ("data", "points"))
+    B, N, M, K = 4, 512, 32, 16
+    xyz = jnp.asarray(rng.uniform(-3, 3, (B, N, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.standard_normal((B, N, 4)).astype(np.float32))
+    mask = np.ones((B, N), bool)
+    mask[:, 490:] = False
+    m = jnp.asarray(mask)
+
+    new_xyz, grouped, inds, gmask, new_mask = sharded_sa_stage(
+        xyz, feats, M, 0.5, K, mesh2d, mask=m, batch_axis="data"
+    )
+
+    inds_w = ops.furthest_point_sample(xyz, M, mask=m)
+    new_xyz_w = ops.gather(xyz, inds_w)
+    grouped_w, _, gmask_w = ops.query_and_group(
+        xyz, new_xyz_w, 0.5, K, features=feats, mask=m, normalize_xyz=True,
+        exact=True,
+    )
+    new_mask_w = jnp.take_along_axis(m, inds_w, axis=1)
+    gmask_w = gmask_w & new_mask_w[:, :, None]
+
+    np.testing.assert_array_equal(np.asarray(inds), np.asarray(inds_w))
+    np.testing.assert_array_equal(np.asarray(new_xyz), np.asarray(new_xyz_w))
+    np.testing.assert_array_equal(np.asarray(gmask), np.asarray(gmask_w))
+    np.testing.assert_array_equal(np.asarray(grouped), np.asarray(grouped_w))
+
+
+def test_hybrid_dp_cp_knn_bitwise(rng):
+    from tpu3dsad.parallel.point_sharded import sharded_knn
+
+    mesh2d = make_mesh((2, 4), ("data", "points"))
+    B, M, N, k = 2, 33, 512, 3
+    q = jnp.asarray(rng.uniform(-1, 1, (B, M, 3)).astype(np.float32))
+    s = jnp.asarray(rng.uniform(-1, 1, (B, N, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.random((B, N)) < 0.85)
+
+    want_d2, want_idx = ops.knn(q, s, k, support_mask=mask)
+    got_d2, got_idx = sharded_knn(
+        q, s, k, mesh2d, support_mask=mask, batch_axis="data"
+    )
+    np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(want_idx))
+    np.testing.assert_allclose(
+        np.asarray(got_d2), np.asarray(want_d2), atol=1e-6
+    )

@@ -11,6 +11,12 @@ result is EXACTLY the unsharded exact ball query / kNN (tested on the
 Use when a single cloud exceeds one chip's HBM, or to parallelize the
 quadratic grouping stage of very large outdoor scenes. Entry points take
 GLOBAL arrays and a mesh; sharding/unsharding happens inside.
+
+Hybrid DP x CP: every entry point takes `batch_axis` — on a 2D mesh
+(('data', 'points')) the batch dim shards over `batch_axis` while N shards
+over `axis`; collectives stay on the `points` axis only, so data-parallel
+groups never talk to each other. batch_axis=None (default) replicates the
+batch (pure-CP, the 1D case).
 """
 
 from __future__ import annotations
@@ -31,6 +37,7 @@ def sharded_ball_query(
     mesh: Mesh,
     mask: jnp.ndarray | None = None,
     axis: str = "points",
+    batch_axis: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact ball query with N sharded over `axis`.
 
@@ -59,9 +66,9 @@ def sharded_ball_query(
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis), P()),
-        out_specs=(P(), P()),
-        check_vma=False,  # outputs are replicated by the all_gather merge
+        in_specs=(P(batch_axis, axis), P(batch_axis, axis), P(batch_axis)),
+        out_specs=(P(batch_axis), P(batch_axis)),
+        check_vma=False,  # replicated within a points group by the merge
     )
     return fn(xyz, mask, centers)
 
@@ -102,6 +109,7 @@ def sharded_fps(
     mesh: Mesh,
     mask: jnp.ndarray | None = None,
     axis: str = "points",
+    batch_axis: str | None = None,
 ) -> jnp.ndarray:
     """Exact FPS with N sharded over `axis` (docs/context_parallel.md).
 
@@ -124,8 +132,8 @@ def sharded_fps(
 
     def local(xyz_l, mask_l):
         shard = jax.lax.axis_index(axis)
-        n_l = xyz_l.shape[1]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (B, n_l), 1)
+        b_l, n_l = xyz_l.shape[:2]  # batch may itself be sharded (batch_axis)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b_l, n_l), 1)
         glane = lane + shard * shard_n
 
         def coords_of(g):
@@ -135,8 +143,8 @@ def sharded_fps(
             return jax.lax.psum(local_sum, axis)
 
         dist0 = jnp.where(mask_l, jnp.inf, -jnp.inf)
-        idx0 = jnp.zeros((B, npoint), jnp.int32)  # seed: global index 0
-        c0 = coords_of(jnp.zeros((B,), jnp.int32))
+        idx0 = jnp.zeros((b_l, npoint), jnp.int32)  # seed: global index 0
+        c0 = coords_of(jnp.zeros((b_l,), jnp.int32))
 
         def body(i, carry):
             dist, lastc, idx = carry
@@ -174,9 +182,9 @@ def sharded_fps(
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis)),
-        out_specs=P(),
-        check_vma=False,  # every shard computes the same global winners
+        in_specs=(P(batch_axis, axis), P(batch_axis, axis)),
+        out_specs=P(batch_axis),
+        check_vma=False,  # every points-shard computes the same winners
     )
     return fn(xyz, mask)
 
@@ -188,6 +196,7 @@ def sharded_knn(
     mesh: Mesh,
     support_mask: jnp.ndarray | None = None,
     axis: str = "points",
+    batch_axis: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact kNN with the support set sharded over `axis`.
 
@@ -223,9 +232,9 @@ def sharded_knn(
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis), P()),
-        out_specs=(P(), P()),
-        check_vma=False,  # outputs are replicated by the all_gather merge
+        in_specs=(P(batch_axis, axis), P(batch_axis, axis), P(batch_axis)),
+        out_specs=(P(batch_axis), P(batch_axis)),
+        check_vma=False,  # replicated within a points group by the merge
     )
     return fn(support, support_mask, query)
 
@@ -235,6 +244,7 @@ def sharded_group(
     idx: jnp.ndarray,
     mesh: Mesh,
     axis: str = "points",
+    batch_axis: str | None = None,
 ) -> jnp.ndarray:
     """Gather [B,M,K] GLOBAL indices from N-sharded points [B,N,C].
 
@@ -263,9 +273,9 @@ def sharded_group(
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, axis), P()),
-        out_specs=P(),
-        check_vma=False,  # psum replicates the combined gather
+        in_specs=(P(batch_axis, axis), P(batch_axis)),
+        out_specs=P(batch_axis),
+        check_vma=False,  # psum replicates within a points group
     )
     return fn(points, idx)
 
@@ -281,16 +291,19 @@ def sharded_query_and_group(
     use_xyz: bool = True,
     normalize_xyz: bool = False,
     axis: str = "points",
+    batch_axis: str | None = None,
 ):
     """query_and_group with the point axis sharded over the mesh — the
     giant-cloud SA grouping stage (VERDICT r1 #7). Semantics identical to
     ops.xla.group.query_and_group(exact=True); outputs bitwise equal
     (tests/distributed/test_sharded_model_path.py)."""
     idx, cnt = sharded_ball_query(
-        xyz, centers, radius, nsample, mesh, mask=mask, axis=axis
+        xyz, centers, radius, nsample, mesh, mask=mask, axis=axis,
+        batch_axis=batch_axis,
     )
     src = xyz if features is None else jnp.concatenate([xyz, features], -1)
-    gathered = sharded_group(src, idx, mesh, axis=axis)
+    gathered = sharded_group(src, idx, mesh, axis=axis,
+                             batch_axis=batch_axis)
     grouped_xyz = gathered[..., :3] - centers[:, :, None, :]
     if normalize_xyz:
         grouped_xyz = grouped_xyz / radius
@@ -315,26 +328,28 @@ def sharded_sa_stage(
     mask: jnp.ndarray | None = None,
     normalize_xyz: bool = True,
     axis: str = "points",
+    batch_axis: str | None = None,
 ):
     """The N-touching half of a SetAbstraction layer on an N-sharded cloud:
     sharded FPS -> center gather -> sharded query_and_group. Everything
     downstream (shared MLP + masked max over [B,M,K,C]) is N-free and runs
     replicated. Returns (new_xyz, grouped, inds, group_mask, new_mask)."""
-    inds = sharded_fps(xyz, npoint, mesh, mask=mask, axis=axis)
+    inds = sharded_fps(xyz, npoint, mesh, mask=mask, axis=axis,
+                       batch_axis=batch_axis)
     new_xyz = sharded_group(
-        xyz, inds[..., None], mesh, axis=axis
+        xyz, inds[..., None], mesh, axis=axis, batch_axis=batch_axis
     )[:, :, 0, :]
     new_mask = (
         jnp.ones(inds.shape, bool)
         if mask is None
         else sharded_group(
             mask[..., None].astype(jnp.float32), inds[..., None], mesh,
-            axis=axis,
+            axis=axis, batch_axis=batch_axis,
         )[:, :, 0, 0] > 0.5
     )
     grouped, _, gmask = sharded_query_and_group(
         xyz, new_xyz, radius, nsample, mesh, features=features, mask=mask,
-        normalize_xyz=normalize_xyz, axis=axis,
+        normalize_xyz=normalize_xyz, axis=axis, batch_axis=batch_axis,
     )
     gmask = gmask & new_mask[:, :, None]
     return new_xyz, grouped, inds, gmask, new_mask
