@@ -134,3 +134,46 @@ def test_hybrid_dp_cp_knn_bitwise(rng):
     np.testing.assert_allclose(
         np.asarray(got_d2), np.asarray(want_d2), atol=1e-6
     )
+
+
+def test_detector_forward_with_cp_mesh_bitwise(rng):
+    """The FLAGSHIP MODEL in giant-cloud mode: SizeAdaptiveDetector with
+    cp_mesh runs its first cfg.cp_stages SA level(s) point-sharded over the
+    mesh and must reproduce the unsharded exact-grouping forward bitwise
+    (same params, same inputs)."""
+    from tpu3dsad.config import ModelConfig
+    from tpu3dsad.models.detector import SizeAdaptiveDetector
+
+    old_fast = ops.get_fast_grouping()
+    ops.set_fast_grouping(False)  # CP grouping is exact; match it
+    try:
+        cfg = ModelConfig(
+            num_classes=4,
+            sa_npoints=(64, 32, 16, 8),
+            sa_nsamples=(8, 8, 4, 4),
+            sa_channels=((16, 16), (16, 32), (16, 32), (16, 32)),
+            fp_channels=((32, 32), (32, 32)),
+            seed_feat_dim=32,
+            num_proposals=16,
+            cluster_nsample=4,
+            cp_stages=2,
+        )
+        model = SizeAdaptiveDetector(cfg)
+        B, N = 2, 512
+        pts = jnp.asarray(rng.uniform(-3, 3, (B, N, 3)).astype(np.float32))
+        mask = np.ones((B, N), bool)
+        mask[:, 500:] = False
+        m = jnp.asarray(mask)
+        variables = model.init(jax.random.key(0), pts, mask=m, train=False)
+
+        want = model.apply(variables, pts, mask=m, train=False)
+        got = model.apply(
+            variables, pts, mask=m, train=False, cp_mesh=_mesh()
+        )
+        for k in ("seed_inds", "proposal_xyz", "raw_params",
+                  "objectness_scores"):
+            np.testing.assert_array_equal(
+                np.asarray(got[k]), np.asarray(want[k]), err_msg=k
+            )
+    finally:
+        ops.set_fast_grouping(old_fast)

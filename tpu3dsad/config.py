@@ -35,6 +35,9 @@ class ModelConfig:
     # size-adaptive clustering (the 3DSAD delta): bank of grouping radii,
     # one chosen/blended per proposal from predicted size class
     cluster_radius_bank: tuple[float, ...] = (0.15, 0.3, 0.6)
+    # giant-cloud (CP) mode: how many leading SA levels run point-sharded
+    # over a mesh passed to the model as cp_mesh (docs/context_parallel.md)
+    cp_stages: int = 1
     cluster_nsample: int = 16
     # 'adaptive' = 3DSAD radius bank; 'lineage' = fixed-radius VoteNet head
     # (full lineage checkpoints import into this mode for box-level parity)

@@ -20,13 +20,20 @@ class PointNet2Backbone(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, features=None, *, mask=None, train: bool = False,
-                 bn_momentum=0.9):
+                 bn_momentum=0.9, cp_mesh=None, cp_batch_axis=None):
         """Returns dict with seed_xyz [B,S,3], seed_features [B,S,D],
-        seed_inds [B,S], seed_mask [B,S] (S = cfg.sa_npoints[1])."""
+        seed_inds [B,S], seed_mask [B,S] (S = cfg.sa_npoints[1]).
+
+        cp_mesh: giant-cloud mode — the first cfg.cp_stages SA levels run
+        their N-touching half (FPS + grouping) sharded over the mesh's
+        'points' axis (docs/context_parallel.md); after that M is small and
+        everything continues replicated. Exact semantics, so the output is
+        bitwise the unsharded exact-grouping program."""
         c = self.cfg
         sa_out = []  # (xyz, feats, inds, mask) per level
         cur = (xyz, features, None, mask)
         for i in range(len(c.sa_npoints)):
+            cp = cp_mesh if (cp_mesh is not None and i < c.cp_stages) else None
             new = SetAbstraction(
                 npoint=c.sa_npoints[i],
                 radii=(c.sa_radii[i],),
@@ -34,7 +41,9 @@ class PointNet2Backbone(nn.Module):
                 mlps=(tuple(c.sa_channels[i]),),
                 normalize_xyz=True,
                 name=f"sa{i + 1}",
-            )(cur[0], cur[1], mask=cur[3], train=train, bn_momentum=bn_momentum)
+            )(cur[0], cur[1], mask=cur[3], train=train,
+              bn_momentum=bn_momentum, cp_mesh=cp,
+              cp_batch_axis=cp_batch_axis)
             sa_out.append(new)
             cur = new
 

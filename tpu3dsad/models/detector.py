@@ -31,8 +31,13 @@ class SizeAdaptiveDetector(nn.Module):
 
     @nn.compact
     def __call__(self, points, features=None, *, mask=None,
-                 train: bool = False, bn_momentum=0.9):
-        """points [B,N,3], features [B,N,C] -> end_points dict."""
+                 train: bool = False, bn_momentum=0.9, cp_mesh=None,
+                 cp_batch_axis=None):
+        """points [B,N,3], features [B,N,C] -> end_points dict.
+
+        cp_mesh (+ cfg.cp_stages > 0): giant-cloud mode — the large-N SA
+        levels run point-sharded over the mesh (docs/context_parallel.md);
+        pass cp_batch_axis for hybrid DP x CP on a 2D mesh."""
         c = self.cfg
         parts = [] if features is None else [features]
         if c.append_height:
@@ -55,7 +60,8 @@ class SizeAdaptiveDetector(nn.Module):
 
         end_points = {}
         bb = PointNet2Backbone(c, name="backbone")(
-            points, features, mask=mask, train=train, bn_momentum=bn_momentum
+            points, features, mask=mask, train=train, bn_momentum=bn_momentum,
+            cp_mesh=cp_mesh, cp_batch_axis=cp_batch_axis,
         )
         end_points.update(bb)
 

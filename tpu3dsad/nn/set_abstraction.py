@@ -37,32 +37,72 @@ class SetAbstraction(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, features=None, *, mask=None, train: bool = False,
-                 inds=None, bn_momentum=0.9):
+                 inds=None, bn_momentum=0.9, cp_mesh=None,
+                 cp_batch_axis=None):
         """xyz [B,N,3], features [B,N,C] -> (new_xyz [B,M,3],
-        new_features [B,M,C'], inds [B,M], new_mask [B,M])."""
-        if inds is None:
-            inds = ops.furthest_point_sample(xyz, self.npoint, mask=mask)
-        new_xyz = ops.gather(xyz, inds)
-        new_mask = (
-            jnp.ones(inds.shape, bool)
-            if mask is None
-            else jnp.take_along_axis(mask, inds, axis=1)
-        )
+        new_features [B,M,C'], inds [B,M], new_mask [B,M]).
+
+        cp_mesh: giant-cloud mode — the N-touching half (FPS + grouping)
+        runs over the mesh's 'points' axis via parallel/point_sharded
+        (exact semantics, bitwise == the unsharded path with exact
+        grouping); the MLP + masked pool stay replicated. cp_batch_axis
+        additionally shards the batch (hybrid DP x CP on a 2D mesh)."""
+        if cp_mesh is not None:
+            from tpu3dsad.parallel.point_sharded import (
+                sharded_fps,
+                sharded_group,
+            )
+
+            if inds is None:
+                inds = sharded_fps(xyz, self.npoint, cp_mesh, mask=mask,
+                                   batch_axis=cp_batch_axis)
+            new_xyz = sharded_group(
+                xyz, inds[..., None], cp_mesh, batch_axis=cp_batch_axis
+            )[:, :, 0, :]
+            new_mask = (
+                jnp.ones(inds.shape, bool)
+                if mask is None
+                else sharded_group(
+                    mask[..., None].astype(jnp.float32), inds[..., None],
+                    cp_mesh, batch_axis=cp_batch_axis,
+                )[:, :, 0, 0] > 0.5
+            )
+        else:
+            if inds is None:
+                inds = ops.furthest_point_sample(xyz, self.npoint, mask=mask)
+            new_xyz = ops.gather(xyz, inds)
+            new_mask = (
+                jnp.ones(inds.shape, bool)
+                if mask is None
+                else jnp.take_along_axis(mask, inds, axis=1)
+            )
 
         pooled = []
         for s, (radius, nsample, channels) in enumerate(
             zip(self.radii, self.nsamples, self.mlps)
         ):
-            grouped, _, gmask = ops.query_and_group(
-                xyz,
-                new_xyz,
-                radius,
-                nsample,
-                features=features,
-                mask=mask,
-                use_xyz=self.use_xyz,
-                normalize_xyz=self.normalize_xyz,
-            )
+            if cp_mesh is not None:
+                from tpu3dsad.parallel.point_sharded import (
+                    sharded_query_and_group,
+                )
+
+                grouped, _, gmask = sharded_query_and_group(
+                    xyz, new_xyz, radius, nsample, cp_mesh,
+                    features=features, mask=mask, use_xyz=self.use_xyz,
+                    normalize_xyz=self.normalize_xyz,
+                    batch_axis=cp_batch_axis,
+                )
+            else:
+                grouped, _, gmask = ops.query_and_group(
+                    xyz,
+                    new_xyz,
+                    radius,
+                    nsample,
+                    features=features,
+                    mask=mask,
+                    use_xyz=self.use_xyz,
+                    normalize_xyz=self.normalize_xyz,
+                )
             # centers of padded/invalid sampled points contribute nothing
             gmask = gmask & new_mask[:, :, None]
             h = SharedMLP(channels, name=f"mlp_{s}")(
