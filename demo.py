@@ -47,12 +47,10 @@ def main(argv):
         tx,
         jax.random.key(0),
     )
-    ckpt = cfg.train.ckpt_dir
-    if cfg.eval.use_best:  # best-mAP snapshot (train_lib.save_best_checkpoint)
-        import os
-
-        ckpt = os.path.join(cfg.train.ckpt_dir, "best")
-    state, step = train_lib.restore_checkpoint(ckpt, state, for_eval=True)
+    state, step = train_lib.restore_checkpoint(
+        cfg.train.ckpt_dir, state, for_eval=True,
+        use_best=cfg.eval.use_best,
+    )
 
     end_points = jax.jit(
         lambda s, b: model.apply(

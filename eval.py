@@ -48,12 +48,10 @@ def main(argv):
         tx,
         jax.random.key(0),
     )
-    ckpt = cfg.train.ckpt_dir
-    if cfg.eval.use_best:  # best-mAP snapshot (train_lib.save_best_checkpoint)
-        import os
-
-        ckpt = os.path.join(cfg.train.ckpt_dir, "best")
-    state, step = train_lib.restore_checkpoint(ckpt, state, for_eval=True)
+    state, step = train_lib.restore_checkpoint(
+        cfg.train.ckpt_dir, state, for_eval=True,
+        use_best=cfg.eval.use_best,
+    )
     if step == 0:
         print("WARNING: no checkpoint found — evaluating random weights",
               file=sys.stderr)
@@ -110,12 +108,10 @@ def eval_classifier(cfg):
         tx,
         jax.random.key(0),
     )
-    ckpt = cfg.train.ckpt_dir
-    if cfg.eval.use_best:  # best-mAP snapshot (train_lib.save_best_checkpoint)
-        import os
-
-        ckpt = os.path.join(cfg.train.ckpt_dir, "best")
-    state, step = train_lib.restore_checkpoint(ckpt, state, for_eval=True)
+    state, step = train_lib.restore_checkpoint(
+        cfg.train.ckpt_dir, state, for_eval=True,
+        use_best=cfg.eval.use_best,
+    )
     if step == 0:
         print("WARNING: no checkpoint found — evaluating random weights",
               file=sys.stderr)

@@ -259,3 +259,45 @@ def test_scannet_multi_candidate_votes(tmp_path, rng):
          "data.max_boxes=8"],
     )
     assert get_dataset(cfg1).train_batch(rng, 1)["vote_targets"].shape == (1, 256, 3)
+
+
+def test_scannet_overlap_extra_candidate_is_other_box(tmp_path, rng):
+    """Regression: a voting point inside TWO boxes must carry the other
+    containing box in an extra slot — the primary owner (slot 0) used to
+    crowd it out because cands included the owner itself."""
+    d = tmp_path / "train"
+    d.mkdir(parents=True)
+    n = 64
+    verts = np.zeros((n, 6), np.float32)
+    verts[:, :3] = [0.4, 0.0, 0.0]  # inside both boxes below
+    ins = np.ones(n, np.int64)
+    sem = np.full(n, 5, np.int64)  # nyu40 5 = chair
+    bbox = np.array(
+        [[0.0, 0.0, 0.0, 2, 2, 2, 5],    # box A
+         [0.5, 0.0, 0.0, 2, 2, 2, 4]],   # box B (closer to the instance)
+        np.float32,
+    )
+    np.save(d / "scene0000_vert.npy", verts)
+    np.save(d / "scene0000_ins_label.npy", ins)
+    np.save(d / "scene0000_sem_label.npy", sem)
+    np.save(d / "scene0000_bbox.npy", bbox)
+
+    cfg = apply_overrides(
+        Config(),
+        ["data.name=scannet", f"data.root={tmp_path}", "data.num_points=64",
+         "data.max_boxes=4", "data.augment=false", "data.vote_candidates=2"],
+    )
+    b = get_dataset(cfg).train_batch(rng, 1)
+    vm = b["vote_mask"][0]
+    assert vm.all()
+    pts = b["points"][0]
+    # slot 0 = primary owner (B, nearest to the instance median)
+    np.testing.assert_allclose(
+        pts + b["vote_targets"][0][:, 0],
+        np.tile([0.5, 0, 0], (len(pts), 1)), atol=1e-6,
+    )
+    # slot 1 = the OTHER containing box (A), not a copy of the owner
+    np.testing.assert_allclose(
+        pts + b["vote_targets"][0][:, 1],
+        np.tile([0.0, 0, 0], (len(pts), 1)), atol=1e-6,
+    )

@@ -53,3 +53,14 @@ def test_wd_decay_is_lr_scaled():
     p = _step(wd=0.1, grads_zero=True)
     np.testing.assert_allclose(np.asarray(p["w"]), 2.0 - 1e-2 * 0.1 * 2.0,
                                rtol=1e-5)
+
+
+def test_bn_momentum_schedule_reaches_lineage_floor():
+    """Lineage BNMomentumScheduler: torch momentum 0.5 halved every 20
+    epochs, floored at BN_MOMENTUM_MAX=0.001 (flax weight cap 0.999 —
+    regression: a 0.99 default silently stopped the decay at 0.01)."""
+    cfg = TrainConfig()
+    assert float(train_lib.bn_momentum_at(cfg, 0)) == 0.5
+    assert abs(float(train_lib.bn_momentum_at(cfg, 40)) - 0.875) < 1e-6
+    # deep into training the flax weight reaches 1 - 0.001
+    assert abs(float(train_lib.bn_momentum_at(cfg, 200)) - 0.999) < 1e-6

@@ -183,3 +183,32 @@ def test_vote_loss_factor_min_over_copies(rng):
     v = losses.vote_loss(ep, batch)
     np.testing.assert_allclose(float(v), 0.0, atol=1e-6)
     # averaging instead of min would give 1.5
+
+
+def test_scene_mask_excludes_padded_scenes_exactly(rng):
+    """batch["scene_mask"] must remove padded (wrap-around duplicate)
+    scenes' contribution EXACTLY: loss over [real ; corrupted-duplicates]
+    with scene_mask == loss over the real scenes alone."""
+    ep4, b4 = _scene(rng, B=4)
+    # make the padded half (scenes 2,3) maximally wrong so any leakage
+    # into the loss is visible
+    ep_bad = dict(ep4)
+    ep_bad["center"] = ep4["center"].at[2:].add(37.0)
+    ep_bad["objectness_scores"] = ep4["objectness_scores"].at[2:].multiply(-1)
+    ep_bad["sem_cls_scores"] = ep4["sem_cls_scores"].at[2:].multiply(-1)
+    b_masked = dict(b4)
+    b_masked["scene_mask"] = jnp.array([True, True, False, False])
+
+    ep2 = {k: v[:2] for k, v in ep4.items()}
+    b2 = {k: v[:2] for k, v in b4.items()}
+
+    loss_masked, m_masked = losses.detection_loss(
+        ep_bad, b_masked, MS, NH, (0.15, 0.3, 0.6)
+    )
+    loss_real, m_real = losses.detection_loss(ep2, b2, MS, NH, (0.15, 0.3, 0.6))
+    np.testing.assert_allclose(
+        float(loss_masked), float(loss_real), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m_masked["obj_acc"]), float(m_real["obj_acc"]), rtol=1e-6
+    )

@@ -115,8 +115,9 @@ class _Voting(torch.nn.Module):
         super().__init__()
         self.vote_factor = vote_factor
         self.dim = dim
-        self.conv1 = torch.nn.Conv1d(dim, dim, 1, bias=False)
-        self.conv2 = torch.nn.Conv1d(dim, dim, 1, bias=False)
+        # upstream voting_module.py leaves Conv1d bias at its default True
+        self.conv1 = torch.nn.Conv1d(dim, dim, 1)
+        self.conv2 = torch.nn.Conv1d(dim, dim, 1)
         self.conv3 = torch.nn.Conv1d(dim, (3 + dim) * vote_factor, 1)
         self.bn1 = torch.nn.BatchNorm1d(dim)
         self.bn2 = torch.nn.BatchNorm1d(dim)
@@ -147,8 +148,9 @@ class _Proposal(torch.nn.Module):
         self.vote_aggregation = _SA(
             num_proposals, radius, nsample, (seed_dim + 3,) + tuple(sa_ch)
         )
-        self.conv1 = torch.nn.Conv1d(sa_ch[-1], feat_dim, 1, bias=False)
-        self.conv2 = torch.nn.Conv1d(feat_dim, feat_dim, 1, bias=False)
+        # upstream proposal_module.py leaves Conv1d bias at its default True
+        self.conv1 = torch.nn.Conv1d(sa_ch[-1], feat_dim, 1)
+        self.conv2 = torch.nn.Conv1d(feat_dim, feat_dim, 1)
         self.conv3 = torch.nn.Conv1d(feat_dim, out_ch, 1)
         self.bn1 = torch.nn.BatchNorm1d(feat_dim)
         self.bn2 = torch.nn.BatchNorm1d(feat_dim)

@@ -137,3 +137,24 @@ def test_device_synth_train_step(rng):
     train_step, _ = train_lib.make_detector_steps(model, cfg)
     state, metrics = train_step(state, batch, jax.random.key(1), 0.9)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_synthetic_batch_small_max_boxes_truncates(rng):
+    """max_boxes < max_objects must truncate like the host path's
+    pad_boxes (regression: negative pad traced jnp.zeros((B,-4,3)))."""
+    b = synthetic_detection_batch(
+        jax.random.key(3), 2, 128, num_classes=4, max_boxes=4
+    )
+    assert b["gt_centers"].shape == (2, 4, 3)
+    assert b["gt_mask"].shape == (2, 4)
+    assert bool(b["gt_mask"].any())
+    # votes still land on some kept GT center for voting points
+    vm = np.asarray(b["vote_mask"][0])
+    if vm.any():
+        tgt = np.asarray(b["points"][0])[vm] + np.asarray(
+            b["vote_targets"][0]
+        )[vm]
+        gt = np.asarray(b["gt_centers"][0])[np.asarray(b["gt_mask"][0])]
+        d = np.min(np.linalg.norm(tgt[:, None] - gt[None], axis=-1), axis=-1)
+        # a vote may target a truncated (dropped) box; most should match
+        assert np.median(d) < 1.0

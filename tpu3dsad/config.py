@@ -85,7 +85,9 @@ class TrainConfig:
     lr_decay_rates: tuple[float, ...] = (0.1, 0.1, 0.1)
     weight_decay: float = 0.0
     bn_momentum_init: float = 0.5
-    bn_momentum_max: float = 0.99  # cap on the flax running-average weight
+    # cap on the flax running-average weight; 0.999 ⇔ the lineage's
+    # BN_MOMENTUM_MAX torch-momentum floor of 0.001 (train.py scheduler)
+    bn_momentum_max: float = 0.999
     bn_decay_epochs: int = 20  # lineage BN_DECAY_STEP: halve torch-m every N
     grad_clip: float = 0.0
     seed: int = 0

@@ -138,7 +138,11 @@ def synthetic_detection_batch(
     """
     from tpu3dsad.data.synthetic import class_mean_sizes
 
-    B, N, G = batch_size, num_points, max_objects
+    B, N = batch_size, num_points
+    # mirror the host path's pad_boxes truncation: max_boxes below
+    # max_objects caps the object count instead of tracing a negative pad
+    G = min(max_objects, max_boxes)
+    min_objects = min(min_objects, G)
     ks = jax.random.split(key, 12)
     mean_sizes = jnp.asarray(class_mean_sizes(num_classes))
 

@@ -87,11 +87,12 @@ def iter_val_batches(items, load_fn, batch_size: int):
         idx = list(range(i, min(i + batch_size, n)))
         mask = np.zeros(batch_size, bool)
         mask[: len(idx)] = True
-        j = 0
-        while len(idx) < batch_size:
-            idx.append(j % n)
-            j += 1
         loaded = [load_fn(items[k]) for k in idx]
+        # pad with a repeat of an already-loaded item: padded slots are
+        # masked everywhere (AP filter + detection_loss scene gating), so
+        # paying load_fn's full per-scene cost for them would be waste
+        while len(loaded) < batch_size:
+            loaded.append(loaded[0])
         batch = {k: np.stack([it[k] for it in loaded]) for k in loaded[0]}
         batch["scene_mask"] = mask
         yield batch

@@ -126,6 +126,7 @@ class ScanNetDetectionDataset:
         V = max(1, self.cfg.data.vote_candidates)
         votes = np.zeros((n_budget, 3), np.float32)
         vmask = np.zeros(n_budget, bool)
+        owner = np.full(n_budget, -1, np.int64)  # primary box per point
         if len(centers):
             for i in np.unique(ins):
                 if i == 0:
@@ -139,10 +140,14 @@ class ScanNetDetectionDataset:
                 b = int(np.argmin(np.sum((centers - med) ** 2, -1)))
                 votes[pt_idx] = centers[b] - points[pt_idx]
                 vmask[pt_idx] = True
+                owner[pt_idx] = b
         if V > 1:
             # lineage GT_VOTE_FACTOR>1: a voting point inside several GT
             # boxes carries each box center as a candidate; unused slots
-            # COPY the primary offset (losses.py vote_loss takes the min)
+            # COPY the primary offset (losses.py vote_loss takes the min).
+            # The primary owner already fills slot 0, so the extra slots
+            # take OTHER containing boxes (else an owner that also contains
+            # the point would crowd out the real overlap candidates).
             votes = np.repeat(votes[:, None, :], V, axis=1)  # [N,V,3]
             if len(centers):
                 rel = points[vmask][:, None, :] - centers[None, :, :]
@@ -150,7 +155,10 @@ class ScanNetDetectionDataset:
                 inside = np.all(np.abs(rel) <= half + 1e-6, -1)  # [n,G]
                 vp = np.nonzero(vmask)[0]
                 for row, p in enumerate(vp):
-                    cands = np.nonzero(inside[row])[0][: V - 1]
+                    cands = [
+                        c for c in np.nonzero(inside[row])[0]
+                        if c != owner[p]
+                    ][: V - 1]
                     for slot, b in enumerate(cands, start=1):
                         votes[p, slot] = centers[b] - points[p]
 

@@ -182,7 +182,18 @@ def scale_selection_loss(end_points, pos, gt_size, radius_bank):
 
 def detection_loss(end_points, batch, mean_sizes, num_heading_bins,
                    radius_bank):
-    """Total loss (lineage weighting, SURVEY.md §2.2) + metrics dict."""
+    """Total loss (lineage weighting, SURVEY.md §2.2) + metrics dict.
+
+    An optional batch["scene_mask"] [B] (val tail-batch padding from
+    iter_val_batches) excludes whole scenes exactly: every reduction here
+    is a masked mean, so folding scene_mask into vote_mask and gt_mask
+    (no GT ⇒ no positives/negatives/center terms) removes the padded
+    duplicates' contribution instead of merely down-weighting the batch."""
+    sm = batch.get("scene_mask")
+    if sm is not None:
+        batch = dict(batch)
+        batch["vote_mask"] = batch["vote_mask"] & sm[:, None]
+        batch["gt_mask"] = batch["gt_mask"] & sm[:, None]
     v_loss = vote_loss(end_points, batch)
     pos, neg, nearest = assign_proposals(end_points, batch)
     o_loss = objectness_loss(end_points, pos, neg)

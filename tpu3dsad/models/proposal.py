@@ -97,7 +97,9 @@ class SizeAdaptiveProposal(nn.Module):
         # --- proposal head → raw box params (lineage channel layout)
         x = feat
         for i in range(2):
-            x = nn.Dense(self.feat_dim, use_bias=False, name=f"head_{i}")(x)
+            # upstream proposal_module.py Conv1d(128,128,1) default bias
+            # (kept even before BN) — needed for exact checkpoint import
+            x = nn.Dense(self.feat_dim, name=f"head_{i}")(x)
             x = MaskedBatchNorm(name=f"head_bn_{i}")(
                 x, train=train, momentum=bn_momentum, mask=center_mask
             )
@@ -168,7 +170,9 @@ class LineageProposal(nn.Module):
 
         x = feat
         for i in range(2):
-            x = nn.Dense(self.feat_dim, use_bias=False, name=f"head_{i}")(x)
+            # upstream proposal_module.py Conv1d(128,128,1) default bias
+            # (kept even before BN) — needed for exact checkpoint import
+            x = nn.Dense(self.feat_dim, name=f"head_{i}")(x)
             x = MaskedBatchNorm(name=f"head_bn_{i}")(
                 x, train=train, momentum=bn_momentum, mask=center_mask
             )

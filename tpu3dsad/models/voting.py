@@ -27,7 +27,9 @@ class VotingModule(nn.Module):
         F = self.vote_factor
         x = seed_features
         for i in range(2):
-            x = nn.Dense(self.feat_dim, use_bias=False, name=f"dense_{i}")(x)
+            # upstream voting_module.py Conv1d(dim,dim,1) keeps its default
+            # bias even before BN — needed for exact checkpoint import
+            x = nn.Dense(self.feat_dim, name=f"dense_{i}")(x)
             x = MaskedBatchNorm(name=f"bn_{i}")(
                 x, train=train, momentum=bn_momentum, mask=mask
             )

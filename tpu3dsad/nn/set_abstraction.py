@@ -49,23 +49,15 @@ class SetAbstraction(nn.Module):
         additionally shards the batch (hybrid DP x CP on a 2D mesh)."""
         if cp_mesh is not None:
             from tpu3dsad.parallel.point_sharded import (
+                sharded_centers,
                 sharded_fps,
-                sharded_group,
             )
 
             if inds is None:
                 inds = sharded_fps(xyz, self.npoint, cp_mesh, mask=mask,
                                    batch_axis=cp_batch_axis)
-            new_xyz = sharded_group(
-                xyz, inds[..., None], cp_mesh, batch_axis=cp_batch_axis
-            )[:, :, 0, :]
-            new_mask = (
-                jnp.ones(inds.shape, bool)
-                if mask is None
-                else sharded_group(
-                    mask[..., None].astype(jnp.float32), inds[..., None],
-                    cp_mesh, batch_axis=cp_batch_axis,
-                )[:, :, 0, 0] > 0.5
+            new_xyz, new_mask = sharded_centers(
+                xyz, inds, cp_mesh, mask=mask, batch_axis=cp_batch_axis
             )
         else:
             if inds is None:

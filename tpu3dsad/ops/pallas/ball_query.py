@@ -223,21 +223,15 @@ def query_and_group(xyz, centers, radius, nsample, features=None, mask=None,
     """Fused query-and-group, Pallas selection + XLA single-gather epilogue
     (gathers are per-row latency-bound and already optimal in XLA —
     docs/kernel_notes.md)."""
-    from tpu3dsad.ops.xla.group import group
+    from tpu3dsad.ops.xla.group import group, group_epilogue
 
     idx, cnt = ball_query(xyz, centers, radius, nsample, mask=mask,
                           exact=exact)
     src = xyz if features is None else jnp.concatenate([xyz, features], -1)
     gathered = group(src, idx)
-    grouped_xyz = gathered[..., :3] - centers[:, :, None, :]
-    if normalize_xyz:
-        grouped_xyz = grouped_xyz / radius
-    slot = jnp.arange(nsample, dtype=jnp.int32)[None, None, :]
-    group_mask = slot < cnt[:, :, None]
-    if features is None:
-        grouped = grouped_xyz
-    elif use_xyz:
-        grouped = jnp.concatenate([grouped_xyz, gathered[..., 3:]], axis=-1)
-    else:
-        grouped = gathered[..., 3:]
+    grouped, group_mask = group_epilogue(
+        gathered, centers, cnt, radius, nsample,
+        has_features=features is not None, use_xyz=use_xyz,
+        normalize_xyz=normalize_xyz,
+    )
     return grouped, idx, group_mask

@@ -31,6 +31,30 @@ def group(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return flat.reshape(B, M, K, C)
 
 
+def group_epilogue(gathered, centers, cnt, radius, nsample, *,
+                   has_features: bool, use_xyz: bool = True,
+                   normalize_xyz: bool = False):
+    """Shared tail of every query-and-group tier (xla / pallas / sharded):
+    center-relative (optionally radius-normalized) xyz, slot<cnt mask,
+    use_xyz feature concat. One definition so the three tiers cannot
+    drift from the bitwise-equality contract their tests pin.
+
+    gathered [B,M,K,3+C] (xyz first), centers [B,M,3], cnt [B,M].
+    Returns (grouped, group_mask)."""
+    grouped_xyz = gathered[..., :3] - centers[:, :, None, :]
+    if normalize_xyz:
+        grouped_xyz = grouped_xyz / radius
+    slot = jnp.arange(nsample, dtype=jnp.int32)[None, None, :]
+    group_mask = slot < cnt[:, :, None]
+    if not has_features:
+        grouped = grouped_xyz
+    elif use_xyz:
+        grouped = jnp.concatenate([grouped_xyz, gathered[..., 3:]], axis=-1)
+    else:
+        grouped = gathered[..., 3:]
+    return grouped, group_mask
+
+
 def query_and_group(
     xyz: jnp.ndarray,
     centers: jnp.ndarray,
@@ -60,17 +84,9 @@ def query_and_group(
     src = xyz if features is None else jnp.concatenate([xyz, features], -1)
     gathered = group(src, idx)  # [B, M, K, 3 + C]
 
-    grouped_xyz = gathered[..., :3] - centers[:, :, None, :]
-    if normalize_xyz:
-        grouped_xyz = grouped_xyz / radius
-
-    slot = jnp.arange(nsample, dtype=jnp.int32)[None, None, :]
-    group_mask = slot < cnt[:, :, None]
-
-    if features is None:
-        grouped = grouped_xyz
-    elif use_xyz:
-        grouped = jnp.concatenate([grouped_xyz, gathered[..., 3:]], axis=-1)
-    else:
-        grouped = gathered[..., 3:]
+    grouped, group_mask = group_epilogue(
+        gathered, centers, cnt, radius, nsample,
+        has_features=features is not None, use_xyz=use_xyz,
+        normalize_xyz=normalize_xyz,
+    )
     return grouped, idx, group_mask

@@ -297,6 +297,8 @@ def sharded_query_and_group(
     giant-cloud SA grouping stage (VERDICT r1 #7). Semantics identical to
     ops.xla.group.query_and_group(exact=True); outputs bitwise equal
     (tests/distributed/test_sharded_model_path.py)."""
+    from tpu3dsad.ops.xla.group import group_epilogue
+
     idx, cnt = sharded_ball_query(
         xyz, centers, radius, nsample, mesh, mask=mask, axis=axis,
         batch_axis=batch_axis,
@@ -304,18 +306,38 @@ def sharded_query_and_group(
     src = xyz if features is None else jnp.concatenate([xyz, features], -1)
     gathered = sharded_group(src, idx, mesh, axis=axis,
                              batch_axis=batch_axis)
-    grouped_xyz = gathered[..., :3] - centers[:, :, None, :]
-    if normalize_xyz:
-        grouped_xyz = grouped_xyz / radius
-    slot = jnp.arange(nsample, dtype=jnp.int32)[None, None, :]
-    group_mask = slot < cnt[:, :, None]
-    if features is None:
-        grouped = grouped_xyz
-    elif use_xyz:
-        grouped = jnp.concatenate([grouped_xyz, gathered[..., 3:]], axis=-1)
-    else:
-        grouped = gathered[..., 3:]
+    grouped, group_mask = group_epilogue(
+        gathered, centers, cnt, radius, nsample,
+        has_features=features is not None, use_xyz=use_xyz,
+        normalize_xyz=normalize_xyz,
+    )
     return grouped, idx, group_mask
+
+
+def sharded_centers(
+    xyz: jnp.ndarray,
+    inds: jnp.ndarray,
+    mesh: Mesh,
+    mask: jnp.ndarray | None = None,
+    axis: str = "points",
+    batch_axis: str | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather sampled centers (+validity) from the sharded cloud with ONE
+    collective: xyz and the mask bit ride a single concatenated
+    sharded_group (the psum path is latency-bound; two separate gathers
+    would double the per-level collective count).
+
+    Returns (new_xyz [B,M,3], new_mask [B,M])."""
+    if mask is None:
+        new_xyz = sharded_group(
+            xyz, inds[..., None], mesh, axis=axis, batch_axis=batch_axis
+        )[:, :, 0, :]
+        return new_xyz, jnp.ones(inds.shape, bool)
+    src = jnp.concatenate([xyz, mask[..., None].astype(xyz.dtype)], -1)
+    g = sharded_group(
+        src, inds[..., None], mesh, axis=axis, batch_axis=batch_axis
+    )[:, :, 0, :]
+    return g[..., :3], g[..., 3] > 0.5
 
 
 def sharded_sa_stage(
@@ -336,16 +358,8 @@ def sharded_sa_stage(
     replicated. Returns (new_xyz, grouped, inds, group_mask, new_mask)."""
     inds = sharded_fps(xyz, npoint, mesh, mask=mask, axis=axis,
                        batch_axis=batch_axis)
-    new_xyz = sharded_group(
-        xyz, inds[..., None], mesh, axis=axis, batch_axis=batch_axis
-    )[:, :, 0, :]
-    new_mask = (
-        jnp.ones(inds.shape, bool)
-        if mask is None
-        else sharded_group(
-            mask[..., None].astype(jnp.float32), inds[..., None], mesh,
-            axis=axis, batch_axis=batch_axis,
-        )[:, :, 0, 0] > 0.5
+    new_xyz, new_mask = sharded_centers(
+        xyz, inds, mesh, mask=mask, axis=axis, batch_axis=batch_axis
     )
     grouped, _, gmask = sharded_query_and_group(
         xyz, new_xyz, radius, nsample, mesh, features=features, mask=mask,

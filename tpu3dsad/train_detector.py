@@ -192,11 +192,14 @@ def evaluate(cfg, model, state, dataset, eval_step, parse, num_batches=None,
         if num_batches is not None and i >= num_batches:
             break
         # scene_mask marks tail-batch padding (iter_val_batches): padded
-        # scenes are wrap-around duplicates and must not be scored twice
+        # scenes are wrap-around duplicates and must not be scored twice.
+        # It rides into the device batch so detection_loss excludes the
+        # duplicates from the batch loss exactly (not just a down-weight).
         scene_mask = np.asarray(
             batch_np.pop("scene_mask", np.ones(cfg.train.batch_size, bool))
         )
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        batch["scene_mask"] = jnp.asarray(scene_mask)
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         end_points, metrics = eval_step(state, batch)

@@ -248,15 +248,19 @@ def save_best_checkpoint(ckpt_dir: str, state: TrainState, step: int,
 
 
 def restore_checkpoint(ckpt_dir: str, state: TrainState,
-                       for_eval: bool = False) -> tuple[TrainState, int]:
+                       for_eval: bool = False,
+                       use_best: bool = False) -> tuple[TrainState, int]:
     """Auto-resume contract (lineage train.py): restore latest if present.
 
     for_eval=True restores params/batch_stats/step only, skipping the
     optimizer state — eval never uses it, and requiring the caller to
     reconstruct the training optimizer (adam vs adamw vs grad-clip chain)
-    just to deserialize a checkpoint is a footgun."""
+    just to deserialize a checkpoint is a footgun. use_best=True reads the
+    best-mAP snapshot (save_best_checkpoint) instead of the latest."""
     import orbax.checkpoint as ocp
 
+    if use_best:
+        ckpt_dir = os.path.join(ckpt_dir, "best")
     path = os.path.abspath(ckpt_dir)
     if not os.path.isdir(path):
         return state, 0

@@ -112,6 +112,10 @@ def import_lineage_weights(state_dict: dict, variables: dict) -> tuple[dict, lis
             put(params, ("voting", f"dense_{j}", "kernel"),
                 _conv_to_dense(state_dict[f"vgen.{cv}.weight"]))
             copied.append(f"vgen.{cv}.weight")
+        if f"vgen.{cv}.bias" in state_dict:  # upstream Conv1d default bias
+            put(params, ("voting", f"dense_{j}", "bias"),
+                state_dict[f"vgen.{cv}.bias"])
+            copied.append(f"vgen.{cv}.bias")
         if f"vgen.{bn}.weight" in state_dict:
             put(params, ("voting", f"bn_{j}", "scale"), state_dict[f"vgen.{bn}.weight"])
             put(params, ("voting", f"bn_{j}", "bias"), state_dict[f"vgen.{bn}.bias"])
@@ -156,6 +160,10 @@ def import_lineage_weights(state_dict: dict, variables: dict) -> tuple[dict, lis
                 put(params, ("proposal", f"head_{j}", "kernel"),
                     _conv_to_dense(state_dict[f"pnet.{cv}.weight"]))
                 copied.append(f"pnet.{cv}.weight")
+            if f"pnet.{cv}.bias" in state_dict:  # upstream default bias
+                put(params, ("proposal", f"head_{j}", "bias"),
+                    state_dict[f"pnet.{cv}.bias"])
+                copied.append(f"pnet.{cv}.bias")
             if f"pnet.{bn}.weight" in state_dict:
                 put(params, ("proposal", f"head_bn_{j}", "scale"),
                     state_dict[f"pnet.{bn}.weight"])
