@@ -1,0 +1,86 @@
+"""AOT serving export (tpu3dsad/serving.py): the serialized whole-scene
+program must reproduce the live jitted pipeline bitwise, and the CLI must
+round-trip export → run-scene."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3dsad.config import parse_cli
+from tpu3dsad.data.synthetic import class_mean_sizes
+from tpu3dsad.serving import build_inference_fn, export_detector, load
+
+_OVERRIDES = [
+    "model.name=detector", "data.name=synthetic", "data.num_points=512",
+    "data.max_boxes=8", "model.num_classes=4",
+    "model.sa_npoints=(128,64,32,16)", "model.sa_nsamples=(8,8,4,4)",
+    "model.sa_channels=((16,16),(16,32),(16,32),(16,32))",
+    "model.fp_channels=((32,32),(32,32))", "model.seed_feat_dim=32",
+    "model.num_proposals=16", "model.cluster_nsample=4",
+    "train.batch_size=2",
+]
+
+
+def _setup(rng):
+    cfg = parse_cli(_OVERRIDES)
+    ms = class_mean_sizes(cfg.model.num_classes)
+    from tpu3dsad.models.detector import SizeAdaptiveDetector
+
+    model = SizeAdaptiveDetector(cfg.model, mean_sizes=tuple(map(tuple, ms)))
+    pts = jnp.asarray(rng.uniform(-3, 3, (2, 512, 3)).astype(np.float32))
+    mask = jnp.ones((2, 512), bool)
+    variables = model.init(jax.random.key(0), pts, mask=mask, train=False)
+    return cfg, ms, variables, pts, mask
+
+
+def test_export_reproduces_live_pipeline(tmp_path, rng):
+    cfg, ms, variables, pts, mask = _setup(rng)
+    live = build_inference_fn(cfg, variables, ms)(pts, mask)
+
+    path = str(tmp_path / "model.bin")
+    manifest = export_detector(cfg, variables, ms, 2, path)
+    assert manifest["num_points"] == 512 and manifest["bytes"] > 0
+    assert json.load(open(path + ".json")) == manifest
+
+    exp = load(path)
+    got = exp.call(pts, mask)
+    assert set(got) == set(live)
+    for k in live:
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(live[k]), err_msg=k
+        )
+
+
+def test_serving_cli_roundtrip(tmp_path, rng, capsys):
+    from tpu3dsad import train_lib
+    from tpu3dsad.serving import main as serving_main
+
+    # fabricate a checkpoint so the export CLI has something to load
+    cfg, ms, variables, pts, mask = _setup(rng)
+    from tpu3dsad.models.detector import SizeAdaptiveDetector
+
+    model = SizeAdaptiveDetector(cfg.model, mean_sizes=tuple(map(tuple, ms)))
+    tx = train_lib.make_optimizer(cfg.train, 10)
+    state = train_lib.TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables["batch_stats"], tx=tx,
+    )
+    ckpt = str(tmp_path / "ckpt")
+    train_lib.save_checkpoint(ckpt, state, 5)
+
+    out = str(tmp_path / "model.bin")
+    serving_main([f"ckpt={ckpt}", f"out={out}", *_OVERRIDES,
+                  f"train.ckpt_dir={ckpt}"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["ckpt_step"] == 5
+
+    scene = tmp_path / "scene.npy"
+    np.save(scene, rng.uniform(-3, 3, (800, 3)).astype(np.float32))
+    dst = tmp_path / "dets.json"
+    serving_main([f"run={out}", f"scene={scene}", f"out={dst}"])
+    dets = json.load(open(dst))["detections"]
+    assert isinstance(dets, list)
+    for d in dets:
+        assert set(d) == {"center", "size", "heading", "score", "class"}
