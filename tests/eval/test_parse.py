@@ -82,22 +82,26 @@ def test_predictions_to_lists_matches_reference_loop(rng):
     }
 
     def reference(cfg):
+        # the lineage ap_helper loop: conf gate on obj_prob alone;
+        # per_class_proposal iterates class-major and emits EVERY class of
+        # a kept proposal at sem_prob[c]*obj_prob; otherwise obj_prob scores
         out = []
         for b in range(B):
             dets = []
-            for p in range(P):
-                if not parsed["keep"][b, p]:
-                    continue
-                if cfg.per_class_proposal:
-                    for c in range(C):
-                        s = parsed["obj_prob"][b, p] * parsed["sem_prob"][b, p, c]
-                        if s > cfg.conf_thresh:
+            if cfg.per_class_proposal:
+                for c in range(C):
+                    for p in range(P):
+                        if (parsed["keep"][b, p]
+                                and parsed["obj_prob"][b, p] > cfg.conf_thresh):
+                            s = parsed["obj_prob"][b, p] * parsed["sem_prob"][b, p, c]
                             dets.append((c, parsed["corners"][b, p], float(s)))
-                else:
-                    sc = int(parsed["sem_cls"][b, p])
-                    s = float(parsed["obj_prob"][b, p] * parsed["sem_prob"][b, p, sc])
-                    if s > cfg.conf_thresh:
-                        dets.append((sc, parsed["corners"][b, p], s))
+            else:
+                for p in range(P):
+                    if (parsed["keep"][b, p]
+                            and parsed["obj_prob"][b, p] > cfg.conf_thresh):
+                        sc = int(parsed["sem_cls"][b, p])
+                        dets.append((sc, parsed["corners"][b, p],
+                                     float(parsed["obj_prob"][b, p])))
             out.append(dets)
         return out
 

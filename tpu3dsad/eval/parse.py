@@ -9,7 +9,6 @@ cross to the host, where APCalculator formats per-class lists.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from tpu3dsad.config import EvalConfig
@@ -72,10 +71,16 @@ def predictions_to_lists(parsed, eval_cfg: EvalConfig, num_classes: int):
     """Host side: fixed-shape arrays → per-scene list of
     (class, corners [8,3], score) tuples (lineage batch_pred_map_cls).
 
-    Vectorized: the dense B×P×C score/threshold pass is numpy and Python
-    only touches EMITTED detections (the old triple loop dominated large
-    val sweeps — VERDICT r1 weak #4). np.nonzero's lexicographic order
-    reproduces the loop's (proposal-major, class-minor) emission order.
+    Lineage semantics (ap_helper.parse_predictions): the conf_thresh gate
+    is on obj_prob ALONE — with per_class_proposal every class of a kept
+    proposal is emitted at score sem_prob[c]·obj_prob (the low-score tail
+    entries carry end-of-PR-curve recall under all-points VOC AP); without
+    it the score is obj_prob. Emission order is class-major,
+    proposal-minor, exactly the lineage's nested loop.
+
+    Vectorized: the dense B×P×C pass is numpy and Python only touches
+    EMITTED detections (the old triple loop dominated large val sweeps —
+    VERDICT r1 weak #4).
     """
     keep = np.asarray(parsed["keep"])
     corners = np.asarray(parsed["corners"])
@@ -83,35 +88,47 @@ def predictions_to_lists(parsed, eval_cfg: EvalConfig, num_classes: int):
     semp = np.asarray(parsed["sem_prob"])
     sem = np.asarray(parsed["sem_cls"])
     B, P = keep.shape
+    gate = keep & (obj > eval_cfg.conf_thresh)  # [B,P]
     if eval_cfg.per_class_proposal:
         scores = obj[:, :, None] * semp[..., :num_classes]  # [B,P,C]
-        emit = keep[:, :, None] & (scores > eval_cfg.conf_thresh)
-        b_i, p_i, c_i = np.nonzero(emit)
+        # class-major emission order (lineage: for c: for p:)
+        b_i, c_i, p_i = np.nonzero(
+            np.broadcast_to(gate[:, None, :], (B, num_classes, P))
+        )
         s_i = scores[b_i, p_i, c_i]
     else:
-        s_all = obj * np.take_along_axis(semp, sem[..., None], -1)[..., 0]
-        emit = keep & (s_all > eval_cfg.conf_thresh)
-        b_i, p_i = np.nonzero(emit)
+        b_i, p_i = np.nonzero(gate)
         c_i = sem[b_i, p_i]
-        s_i = s_all[b_i, p_i]
+        s_i = obj[b_i, p_i]  # lineage: objectness alone scores the box
     out = [[] for _ in range(B)]
     for b, p, c, s in zip(b_i, p_i, c_i, s_i):
         out[b].append((int(c), corners[b, p], float(s)))
     return out
 
 
+def _box_corners_np(center, size, heading):
+    """Pure-numpy twin of ops.boxes.box_corners (same math, same order) —
+    host GT corners without a per-batch device round-trip."""
+    from tpu3dsad.ops.boxes import _CORNER_SIGNS
+
+    signs = np.asarray(_CORNER_SIGNS, np.float32)
+    ext = size[..., None, :] * signs  # [..., 8, 3]
+    c, s = np.cos(heading), np.sin(heading)
+    x = ext[..., 0] * c[..., None] - ext[..., 1] * s[..., None]
+    y = ext[..., 0] * s[..., None] + ext[..., 1] * c[..., None]
+    z = ext[..., 2]
+    rot = np.stack([x, y, z], axis=-1)
+    return (rot + center[..., None, :]).astype(np.float32)
+
+
 def parse_groundtruths(batch):
     """Host side: padded GT arrays → per-scene list of (class, corners)."""
-    from tpu3dsad.ops.boxes import box_corners as _bc
-
     centers = np.asarray(batch["gt_centers"])
     sizes = np.asarray(batch["gt_sizes"])
     headings = np.asarray(batch["gt_headings"])
     classes = np.asarray(batch["gt_classes"])
     mask = np.asarray(batch["gt_mask"])
-    corners = np.asarray(
-        _bc(jnp.asarray(centers), jnp.asarray(sizes), jnp.asarray(headings))
-    )
+    corners = _box_corners_np(centers, sizes, headings)
     out = []
     for b in range(centers.shape[0]):
         out.append(

@@ -94,27 +94,33 @@ def objectness_loss(end_points, pos, neg):
     logits = end_points["objectness_scores"]
     labels = pos.astype(jnp.int32)
     ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    # lineage compute_objectness_loss: per-element CE carries the TARGET
+    # class weight (nn.CrossEntropyLoss(weight)), but the normalizer is the
+    # COUNT of supervised proposals, not the weight sum
     w = jnp.where(pos, OBJECTNESS_CLS_WEIGHTS[1], 0.0) + jnp.where(
         neg, OBJECTNESS_CLS_WEIGHTS[0], 0.0
     )
-    return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+    sup = (pos | neg).astype(ce.dtype)
+    return jnp.sum(ce * w) / jnp.maximum(jnp.sum(sup), 1.0)
 
 
 def center_loss(end_points, batch, pos):
-    """Chamfer-style: pred→nearest GT (positives) + GT→nearest pred."""
+    """Chamfer: pred→nearest GT (positives) + GT→nearest pred.
+
+    Lineage compute_center_loss uses nn_distance's default SQUARED l2 in
+    both directions (no huber — huber-of-sqrt was a deviation that pulled
+    far-off centers ~2.7× weaker than the lineage recipe)."""
     pred = end_points["center"]  # [B,P,3]
     gt = batch["gt_centers"]  # [B,G,3]
     BIG = 1e12  # finite sentinel: inf would NaN the masked means (inf * 0)
     d2 = pairwise_sqdist(pred, gt)  # [B,P,G]
     d2 = jnp.where(batch["gt_mask"][:, None, :], d2, BIG)
     p2g = jnp.min(d2, axis=-1)
-    fwd = _masked_mean(huber(jnp.sqrt(p2g + 1e-8)) * (p2g < BIG), pos)
+    fwd = _masked_mean(p2g * (p2g < BIG), pos)
 
     d2b = jnp.where(end_points["proposal_mask"][:, :, None], d2, BIG)
     g2p = jnp.min(d2b, axis=1)  # [B,G]
-    bwd = _masked_mean(
-        huber(jnp.sqrt(g2p + 1e-8)) * (g2p < BIG), batch["gt_mask"]
-    )
+    bwd = _masked_mean(g2p * (g2p < BIG), batch["gt_mask"])
     return fwd + bwd
 
 
@@ -158,8 +164,9 @@ def box_and_sem_loss(end_points, batch, pos, nearest, mean_sizes, num_heading_bi
         gt_cls[..., None, None].repeat(3, -1),
         axis=-2,
     )[..., 0, :]
+    # lineage: MEAN of the per-dimension huber over the 3 size dims
     size_reg = _masked_mean(
-        jnp.sum(huber(pred_sres - gt_res_norm), axis=-1), pos
+        jnp.mean(huber(pred_sres - gt_res_norm), axis=-1), pos
     )
 
     sem_ce = optax.softmax_cross_entropy_with_integer_labels(

@@ -44,8 +44,7 @@ from tpu3dsad.ops.xla.common import valid_mask
 _R_WIDTH = 8  # r-level of the two-level one-hot; K must be a multiple
 
 
-def _kernel(c_ref, xT_ref, u_ref, out_ref, run_ref, *, r2: float, k: int,
-            n_total: int):
+def _kernel(c_ref, xT_ref, u_ref, out_ref, run_ref, *, r2: float, k: int):
     """One (batch, center-tile, point-tile) grid step.
 
     c_ref [1,Mt,3] centers, xT_ref [1,3,Nt] points (transposed), u_ref
@@ -159,7 +158,7 @@ def _ball_query_kernel(xyz, centers, radius: float, nsample: int,
     grid = (B, M // Mt, N // Nt)
     slots = pl.pallas_call(
         functools.partial(
-            _kernel, r2=float(radius) * float(radius), k=nsample, n_total=N
+            _kernel, r2=float(radius) * float(radius), k=nsample
         ),
         grid=grid,
         in_specs=[

@@ -69,7 +69,21 @@ def ball_query(
     k_eff = min(nsample, N)  # nsample may exceed N (CUDA pads w/ first hit)
     r2 = radius * radius
 
-    d2 = pairwise_sqdist(centers, xyz, exact=exact)  # [B, M, N]
+    if exact:
+        # elementwise dx²+dy²+dz² in the SAME summation order as the Pallas
+        # kernel, the numpy oracle, and the lineage CUDA. The MXU-friendly
+        # |a|²+|b|²−2a·b expansion loses ~|a|²·2⁻²³ to cancellation on
+        # off-origin scenes — enough to flip in/out-of-ball membership at
+        # the boundary and break cross-tier equality. The exact tier's cost
+        # is the K-pass top_k, not this fused broadcast-subtract-reduce.
+        c = centers.astype(jnp.float32)
+        x = xyz.astype(jnp.float32)
+        dx = c[..., :, None, 0] - x[..., None, :, 0]
+        dy = c[..., :, None, 1] - x[..., None, :, 1]
+        dz = c[..., :, None, 2] - x[..., None, :, 2]
+        d2 = dx * dx + dy * dy + dz * dz  # [B, M, N]
+    else:
+        d2 = pairwise_sqdist(centers, xyz, exact=False)  # [B, M, N]
     within = (d2 < r2) & valid[:, None, :]
     point_rank = jax.lax.broadcasted_iota(jnp.int32, within.shape, 2)
     score = jnp.where(within, N - point_rank, 0)  # distinct positive on hits
