@@ -41,3 +41,32 @@ def test_augment_preserves_shapes_and_wraps_heading(rng):
     assert p.shape == points.shape
     np.testing.assert_array_equal(p[:, 3:], points[:, 3:])  # extras untouched
     assert (np.abs(h) <= np.pi + 1e-6).all()
+
+
+def test_aug_presets_resolve_lineage_recipes():
+    """data.aug_preset='auto' applies the dataset's lineage recipe;
+    'custom' honors the explicit fields (scale min==max==1 disables)."""
+    import numpy as np
+
+    from tpu3dsad.config import Config, apply_overrides
+    from tpu3dsad.data.augment import AUG_PRESETS, resolve_aug
+
+    cfg = Config()
+    sc = resolve_aug(cfg.data, "scannet")
+    assert sc == AUG_PRESETS["scannet"]
+    assert sc["rot_range"] == np.pi / 36 and sc["scale_range"] is None
+    su = resolve_aug(cfg.data, "sunrgbd")
+    assert su["flip_y"] is False and su["rot_range"] == np.pi / 6
+    assert su["scale_range"] == (0.85, 1.15)
+
+    custom = apply_overrides(
+        Config(),
+        ["data.aug_preset=custom", "data.aug_flip_y=false",
+         "data.aug_rot_range=0.5", "data.aug_scale_min=0.7",
+         "data.aug_scale_max=1.3"],
+    )
+    got = resolve_aug(custom.data, "scannet")
+    assert got == dict(flip_x=True, flip_y=False, rot_range=0.5,
+                       scale_range=(0.7, 1.3))
+    noscale = apply_overrides(Config(), ["data.aug_preset=custom"])
+    assert resolve_aug(noscale.data, "kitti")["scale_range"] is None

@@ -48,7 +48,8 @@ def test_augment_identity_when_disabled(rng):
     b = detection_batch(rng, 1, 256, 4, max_boxes=8)
     batch = {k: jnp.asarray(v) for k, v in b.items()}
     out = augment_batch(
-        batch, jax.random.key(0), flip=False, rot_range=0.0, scale_range=None
+        batch, jax.random.key(0), flip_x=False, flip_y=False, rot_range=0.0,
+        scale_range=None,
     )
     np.testing.assert_allclose(np.asarray(out["points"]), b["points"],
                                atol=1e-6)
@@ -58,8 +59,8 @@ def test_augment_identity_when_disabled(rng):
 def test_augment_scales_everything_together(rng):
     b = detection_batch(rng, 1, 256, 4, max_boxes=8)
     batch = {k: jnp.asarray(v) for k, v in b.items()}
-    out = augment_batch(batch, jax.random.key(1), flip=False, rot_range=0.0,
-                        scale_range=(1.5, 1.5))
+    out = augment_batch(batch, jax.random.key(1), flip_x=False, flip_y=False,
+                        rot_range=0.0, scale_range=(1.5, 1.5))
     np.testing.assert_allclose(
         np.asarray(out["points"]), 1.5 * b["points"], rtol=1e-6
     )

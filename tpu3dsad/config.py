@@ -43,8 +43,9 @@ class ModelConfig:
     # (full lineage checkpoints import into this mode for box-level parity)
     proposal_mode: str = "adaptive"
     proposal_radius: float = 0.3  # lineage ProposalModule r
-    append_height: bool = True  # lineage use_height: z-above-floor channel
-    bn_momentum: float = 0.9
+    # lineage use_height: append the z-above-floor channel (computed
+    # IN-MODEL from the scene floor — models/detector.py)
+    append_height: bool = True
     dropout: float = 0.5
 
 
@@ -56,7 +57,6 @@ class DataConfig:
     num_points: int = 40960
     max_boxes: int = 64
     augment: bool = True
-    use_height: bool = True
     use_color: bool = False
     # run large-cloud preprocessing FPS (KITTI crop→budget) on the TPU
     device_preproc: bool = False
@@ -66,9 +66,14 @@ class DataConfig:
     # entirely on device (zero host work / link bytes per step)
     device_augment: bool = False
     device_synth: bool = False
-    aug_rot_range: float = 0.17453293  # ±rad; lineage ScanNet π/18
-    aug_scale_min: float = 0.9
-    aug_scale_max: float = 1.1
+    # augmentation: 'auto' applies the dataset's lineage recipe
+    # (data/augment.py AUG_PRESETS); 'custom' honors the fields below
+    aug_preset: str = "auto"
+    aug_flip_x: bool = True
+    aug_flip_y: bool = True
+    aug_rot_range: float = 0.08726646  # HALF-range ±rad (π/36 = ±5°)
+    aug_scale_min: float = 1.0  # min==max==1.0 disables scale jitter
+    aug_scale_max: float = 1.0
     # vote candidates per point (lineage GT_VOTE_FACTOR). 1 = single owner
     # (ScanNet instance labels are unique — the lineage convention). >1:
     # points inside several GT boxes carry up to V candidate offsets and

@@ -16,15 +16,46 @@ def rot_z(angle: float) -> np.ndarray:
     return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
 
 
+# Lineage augmentation recipes per dataset (the *_detection_dataset.py
+# __getitem__ blocks). rot_range is a HALF-range: angle ~ U(-r, +r).
+#   scannet: both flips, ±5° (π/36), no scale  (lineage scannet)
+#   sunrgbd: single YZ-plane (x) flip, ±30° (π/6), scale 0.85–1.15
+#   kitti:   OUR recipe (no lineage file exists): left-right (y) flip,
+#            ±45°, scale 0.95–1.05 — the common outdoor-detector choices
+AUG_PRESETS = {
+    "scannet": dict(flip_x=True, flip_y=True, rot_range=np.pi / 36,
+                    scale_range=None),
+    "sunrgbd": dict(flip_x=True, flip_y=False, rot_range=np.pi / 6,
+                    scale_range=(0.85, 1.15)),
+    "kitti": dict(flip_x=False, flip_y=True, rot_range=np.pi / 4,
+                  scale_range=(0.95, 1.05)),
+}
+
+
+def resolve_aug(data_cfg, dataset_name: str) -> dict:
+    """Effective augmentation parameters: the dataset's lineage preset
+    (data.aug_preset='auto') or the explicit config fields ('custom')."""
+    if data_cfg.aug_preset != "custom":
+        return AUG_PRESETS.get(dataset_name, AUG_PRESETS["scannet"])
+    scale = (
+        None
+        if data_cfg.aug_scale_min == data_cfg.aug_scale_max == 1.0
+        else (data_cfg.aug_scale_min, data_cfg.aug_scale_max)
+    )
+    return dict(flip_x=data_cfg.aug_flip_x, flip_y=data_cfg.aug_flip_y,
+                rot_range=data_cfg.aug_rot_range, scale_range=scale)
+
+
 def augment_scene(
     rng: np.random.Generator,
     points: np.ndarray,
     centers: np.ndarray,
     headings: np.ndarray,
     sizes: np.ndarray,
-    flip: bool = True,
-    rot_range: float = np.pi / 18,  # ±5° — lineage ScanNet default
-    scale_range: tuple[float, float] | None = (0.9, 1.1),
+    flip_x: bool = True,
+    flip_y: bool = True,
+    rot_range: float = np.pi / 36,  # HALF-range: ±5° — lineage ScanNet
+    scale_range: tuple[float, float] | None = None,
 ):
     """Returns augmented (points, centers, headings, sizes). points [N,3+F]
     (only xyz columns are transformed)."""
@@ -33,11 +64,11 @@ def augment_scene(
     headings = headings.copy()
     sizes = sizes.copy()
 
-    if flip and rng.random() < 0.5:  # flip x (YZ plane)
+    if flip_x and rng.random() < 0.5:  # flip x (YZ plane)
         xyz[:, 0] = -xyz[:, 0]
         centers[:, 0] = -centers[:, 0]
         headings = np.pi - headings
-    if flip and rng.random() < 0.5:  # flip y (XZ plane)
+    if flip_y and rng.random() < 0.5:  # flip y (XZ plane)
         xyz[:, 1] = -xyz[:, 1]
         centers[:, 1] = -centers[:, 1]
         headings = -headings

@@ -48,9 +48,10 @@ def _rot_z(angle):
 def augment_batch(
     batch: dict,
     key,
-    flip: bool = True,
-    rot_range: float = np.pi / 18,
-    scale_range: tuple[float, float] | None = (0.9, 1.1),
+    flip_x: bool = True,
+    flip_y: bool = True,
+    rot_range: float = np.pi / 36,
+    scale_range: tuple[float, float] | None = None,
 ) -> dict:
     """Per-scene flip/rot/scale of a padded detection batch, on device.
 
@@ -83,8 +84,9 @@ def augment_batch(
             headings,
         )
 
-    if flip:
+    if flip_x:
         flip_axis(0, jax.random.bernoulli(kfx, 0.5, (B,)))
+    if flip_y:
         flip_axis(1, jax.random.bernoulli(kfy, 0.5, (B,)))
 
     angle = jax.random.uniform(

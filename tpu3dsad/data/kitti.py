@@ -22,6 +22,7 @@ from glob import glob
 import numpy as np
 
 from tpu3dsad.config import Config
+from tpu3dsad.data.augment import augment_scene, resolve_aug
 from tpu3dsad.data.pipeline import iter_val_batches, pad_boxes
 
 KITTI_CLASS_NAMES = ("car", "pedestrian", "cyclist")
@@ -151,6 +152,17 @@ class KittiDetectionDataset:
         points[:n] = pc[:n, :3]
         pmask = np.zeros(n_budget, bool)
         pmask[:n] = True
+
+        if augment and self.cfg.data.augment:
+            # flip/rot/scale AFTER the cached crop+FPS selection (the
+            # selection is pose-equivariant, and augmenting earlier would
+            # defeat the on-disk FPS cache). AUG_PRESETS["kitti"]: y-flip,
+            # ±45° rotation, 0.95–1.05 scale — our recipe, no lineage file
+            pts_aug, centers, headings, sizes = augment_scene(
+                rng, points[:n], centers, headings, sizes,
+                **resolve_aug(self.cfg.data, "kitti"),
+            )
+            points[:n] = pts_aug[:, :3]
 
         votes = np.zeros((n_budget, 3), np.float32)
         vmask = np.zeros(n_budget, bool)

@@ -17,7 +17,10 @@ import numpy as np
 
 def pad_points(points: np.ndarray, budget: int, rng=None):
     """Pad [N,C] to [budget,C] (repeating nothing — mask marks pads) or
-    subsample to the budget if over. Returns (points, mask)."""
+    subsample to the budget if over.
+
+    Returns (points, mask, sel) — sel is the index of each kept row into
+    the input (callers subset per-point labels with it)."""
     n = points.shape[0]
     if n >= budget:
         if rng is None:
@@ -125,7 +128,12 @@ class Batcher:
             try:
                 batch = self._make(self._rng)
             except BaseException as e:  # surface loader failures, don't hang
-                self._q.put(e)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(e, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
                 return
             produced += 1
             while not self._stop.is_set():

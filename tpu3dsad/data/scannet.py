@@ -22,7 +22,7 @@ from glob import glob
 import numpy as np
 
 from tpu3dsad.config import Config
-from tpu3dsad.data.augment import augment_scene
+from tpu3dsad.data.augment import augment_scene, resolve_aug
 from tpu3dsad.data.pipeline import iter_val_batches, pad_boxes
 
 # The 18 ScanNet benchmark classes and their nyu40 ids (lineage
@@ -117,7 +117,8 @@ class ScanNetDetectionDataset:
 
         if augment and self.cfg.data.augment:
             points, centers, headings, sizes = augment_scene(
-                rng, points, centers, headings, sizes
+                rng, points, centers, headings, sizes,
+                **resolve_aug(self.cfg.data, "scannet"),
             )
 
         # vote targets: points of an annotated instance of a benchmark class
@@ -150,17 +151,31 @@ class ScanNetDetectionDataset:
             # the point would crowd out the real overlap candidates).
             votes = np.repeat(votes[:, None, :], V, axis=1)  # [N,V,3]
             if len(centers):
-                rel = points[vmask][:, None, :] - centers[None, :, :]
-                half = sizes[None, :, :] / 2
-                inside = np.all(np.abs(rel) <= half + 1e-6, -1)  # [n,G]
+                # ORIENTED containment (same convention as sunrgbd.
+                # points_in_oriented_box): after augmentation the boxes
+                # carry nonzero headings, so an axis-aligned test would
+                # mis-assign corner/edge points. Fully vectorized — the
+                # old per-point python loop stalled the 1-core host feed.
                 vp = np.nonzero(vmask)[0]
-                for row, p in enumerate(vp):
-                    cands = [
-                        c for c in np.nonzero(inside[row])[0]
-                        if c != owner[p]
-                    ][: V - 1]
-                    for slot, b in enumerate(cands, start=1):
-                        votes[p, slot] = centers[b] - points[p]
+                rel = points[vp][:, None, :] - centers[None, :, :]  # [n,G,3]
+                ch, sh = np.cos(headings), np.sin(headings)
+                lx = ch[None, :] * rel[..., 0] + sh[None, :] * rel[..., 1]
+                ly = -sh[None, :] * rel[..., 0] + ch[None, :] * rel[..., 1]
+                local = np.stack([lx, ly, rel[..., 2]], -1)
+                inside = np.all(
+                    np.abs(local) <= sizes[None] / 2 + 1e-6, -1
+                )  # [n,G]
+                inside[np.arange(len(vp)), owner[vp]] = False  # not the owner
+                # first V-1 remaining containing boxes, box-index order
+                # (fewer boxes than slots leaves the tail at the primary
+                # copy from np.repeat above)
+                order = np.argsort(~inside, axis=1, kind="stable")[:, : V - 1]
+                kslots = order.shape[1]
+                valid_c = np.take_along_axis(inside, order, axis=1)
+                off = centers[order] - points[vp][:, None, :]  # [n,k,3]
+                votes[vp, 1 : 1 + kslots] = np.where(
+                    valid_c[..., None], off, votes[vp, :1]
+                )
 
         max_boxes = self.cfg.data.max_boxes
         c, bm = pad_boxes(centers, max_boxes)

@@ -22,7 +22,7 @@ from glob import glob
 import numpy as np
 
 from tpu3dsad.config import Config
-from tpu3dsad.data.augment import augment_scene, rot_z
+from tpu3dsad.data.augment import augment_scene, resolve_aug, rot_z
 from tpu3dsad.data.pipeline import iter_val_batches, pad_boxes
 
 SUNRGBD_CLASS_NAMES = (
@@ -106,9 +106,11 @@ class SunRGBDDetectionDataset:
             )
 
         if augment and self.cfg.data.augment:
-            # lineage SUN RGB-D: single flip + ±30° rotation + scale
+            # lineage SUN RGB-D: single YZ flip, ±30° rotation, 0.85–1.15
+            # scale (AUG_PRESETS["sunrgbd"])
             points, centers, headings, sizes = augment_scene(
-                rng, points, centers, headings, sizes, rot_range=np.pi / 6
+                rng, points, centers, headings, sizes,
+                **resolve_aug(self.cfg.data, "sunrgbd"),
             )
 
         votes = np.zeros((n_budget, 3), np.float32)

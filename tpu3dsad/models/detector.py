@@ -2,8 +2,9 @@
 
 Lineage: models/votenet.py VoteNet assembly with the 3DSAD size-adaptive
 proposal stage (SURVEY.md §1 L3, §3.3 tensor trace): backbone → voting →
-size-adaptive clustering/proposal → decoded end_points dict. Height feature
-(z - z_floor) is appended on-host by loaders; the model takes raw features.
+size-adaptive clustering/proposal → decoded end_points dict. The height
+feature (z − per-scene floor) is computed IN-MODEL when
+model.append_height is set; loaders supply only raw features (color).
 """
 
 from __future__ import annotations

@@ -83,9 +83,11 @@ def run_detector(cfg: Config):
     from tpu3dsad.utils.metrics import MetricsLogger
 
     logger = MetricsLogger(cfg.train.tb_dir)
+    profiling = False
     if cfg.train.profile_dir:
         # SURVEY.md §5 tracing: capture a short window of real train steps
         jax.profiler.start_trace(cfg.train.profile_dir)
+        profiling = True
 
     # input feed: fully on-device synthetic generation (zero host work and
     # zero link bytes per step) when enabled; otherwise background-thread
@@ -151,8 +153,9 @@ def run_detector(cfg: Config):
             )
         )
         train_lib.save_checkpoint(cfg.train.ckpt_dir, state, step)
-        if cfg.train.profile_dir and epoch == start_step // steps_per_epoch:
-            jax.profiler.stop_trace()  # first epoch only
+        if profiling:
+            jax.profiler.stop_trace()  # first executed epoch only
+            profiling = False
 
         if (epoch + 1) % cfg.train.eval_every == 0:
             m = evaluate(cfg, model, state, dataset, eval_step, parse,
@@ -168,6 +171,8 @@ def run_detector(cfg: Config):
                 cfg.train.ckpt_dir, state, step, lead
             ):
                 print(json.dumps({"epoch": epoch, "new_best_mAP": lead}))
+    if profiling:  # zero remaining epochs (resumed past num_epochs)
+        jax.profiler.stop_trace()
     if batcher is not None:
         batcher.close()
     logger.flush()

@@ -143,6 +143,12 @@ def make_detector_steps(model, cfg: Config):
     nh = cfg.model.num_heading_bins
     bank = tuple(cfg.model.cluster_radius_bank)
     device_aug = cfg.data.device_augment and cfg.data.augment
+    if device_aug:
+        from tpu3dsad.data.augment import resolve_aug
+
+        # the dataset's lineage recipe (or the custom fields) — same
+        # resolution the host loaders use
+        aug_params = resolve_aug(cfg.data, cfg.data.name)
 
     def loss_fn(params, batch_stats, batch, rng, bn_momentum):
         end_points, updates = model.apply(
@@ -164,12 +170,7 @@ def make_detector_steps(model, cfg: Config):
             from tpu3dsad.data.device_pipeline import augment_batch
 
             rng, akey = jax.random.split(rng)
-            batch = augment_batch(
-                batch,
-                akey,
-                rot_range=cfg.data.aug_rot_range,
-                scale_range=(cfg.data.aug_scale_min, cfg.data.aug_scale_max),
-            )
+            batch = augment_batch(batch, akey, **aug_params)
         (_, (new_stats, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, batch, rng, bn_momentum)
