@@ -9,7 +9,10 @@
 //
 // Exposed as a plain C ABI consumed via ctypes (tpu3dsad/utils/native.py).
 // Semantics mirror tpu3dsad/ops/oracle.py exactly (seed 0, ties → lowest
-// index) and are pinned by tests against the numpy oracles.
+// index) and are pinned by tests against the numpy oracles. Built with
+// -ffp-contract=off (utils/native.py): FMA contraction would round d²
+// differently than numpy's unfused fp32 ops and flip argmax ties,
+// breaking oracle parity and cross-machine pack reproducibility.
 
 #include <cmath>
 #include <cstdint>
@@ -30,6 +33,7 @@ extern "C" {
 // the serial scan (ties → lowest index).
 void fps(const float* xyz, const uint8_t* mask, int64_t n, int64_t m,
          int64_t* out_idx) {
+  if (m <= 0 || n <= 0) return;  // zero-length output: nothing to write
   std::vector<float> dist(n);
   const float inf = std::numeric_limits<float>::infinity();
   for (int64_t i = 0; i < n; ++i) {

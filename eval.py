@@ -75,7 +75,6 @@ def main(argv):
 def eval_classifier(cfg):
     """Val accuracy sweep for the classification model (config #1)."""
     from tpu3dsad.data.synthetic import classification_batch
-    from tpu3dsad.models.classifier import PointNet2Classifier
 
     rng = np.random.default_rng(999)
     if cfg.data.name == "modelnet":
@@ -95,11 +94,9 @@ def eval_classifier(cfg):
             for _ in range(4)
         ]
 
-    n = cfg.data.num_points
-    model = PointNet2Classifier(
-        num_classes=num_classes, dropout=cfg.model.dropout,
-        sa1_npoint=min(512, n // 2), sa2_npoint=min(128, n // 8),
-    )
+    from tpu3dsad.models.classifier import build_classifier
+
+    model = build_classifier(cfg, num_classes)
     ex = {k: jnp.asarray(v) for k, v in batches[0].items()}
     tx = train_lib.make_optimizer(cfg.train, 100)
     state = train_lib.create_state(

@@ -117,6 +117,7 @@ def test_packed_train_smoke(packed_root, tmp_path):
     cfg = parse_cli(
         ["model.name=detector", "data.name=packed", f"data.root={dst}",
          "data.num_points=256", "data.max_boxes=8",
+         "data.device_augment=true",
          "model.sa_npoints=(64,32,16,8)", "model.sa_nsamples=(8,8,4,4)",
          "model.sa_channels=((16,16),(16,32),(16,32),(16,32))",
          "model.fp_channels=((32,32),(32,32))", "model.seed_feat_dim=32",

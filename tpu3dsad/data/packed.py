@@ -46,7 +46,8 @@ def _scene_lists(dataset):
     return dataset.train_items, dataset.val_items
 
 
-def pack_split(dataset, items, out_dir: str, pack_seed: int = 0) -> int:
+def pack_split(dataset, items, out_dir: str, pack_seed: int = 0,
+               source_dataset: str = "") -> int:
     """Freeze `items` (list of (dir, id) pairs) into `out_dir`. Returns the
     scene count (0 ⇒ nothing written — empty splits produce no directory)."""
     if not items:
@@ -84,21 +85,27 @@ def pack_split(dataset, items, out_dir: str, pack_seed: int = 0) -> int:
         "class_names": list(dataset.class_names),
         "mean_sizes": np.asarray(dataset.mean_sizes).tolist(),
         "pack_seed": pack_seed,
+        # remembered so device augmentation applies the SOURCE dataset's
+        # lineage recipe (augment.resolve_aug), not a generic default
+        "source_dataset": source_dataset,
     }
     with open(os.path.join(out_dir, _HEADER), "w") as f:
         json.dump(header, f)
     return len(items)
 
 
-def pack_dataset(dataset, out_root: str, pack_seed: int = 0) -> dict:
+def pack_dataset(dataset, out_root: str, pack_seed: int = 0,
+                 source_dataset: str = "") -> dict:
     """Pack both splits under `<out_root>/{train,val}`. Returns counts."""
     train_items, val_items = _scene_lists(dataset)
     return {
         "train": pack_split(
-            dataset, train_items, os.path.join(out_root, "train"), pack_seed
+            dataset, train_items, os.path.join(out_root, "train"), pack_seed,
+            source_dataset=source_dataset,
         ),
         "val": pack_split(
-            dataset, val_items, os.path.join(out_root, "val"), pack_seed
+            dataset, val_items, os.path.join(out_root, "val"), pack_seed,
+            source_dataset=source_dataset,
         ),
     }
 
@@ -148,6 +155,8 @@ class PackedDetectionDataset:
             else None
         )
         h = self.train.header
+        # the packed scenes' origin — drives the device-augmentation preset
+        self.source_dataset = h.get("source_dataset") or "scannet"
         self.class_names = h["class_names"]
         self.num_classes = len(self.class_names)
         self.mean_sizes = np.asarray(h["mean_sizes"], np.float32)
@@ -187,9 +196,12 @@ def device_prefetch(batches, mesh=None, depth: int = 2):
 
     q: deque = deque()
     for b in batches:
-        d = {k: jnp.asarray(v) for k, v in b.items()}
         if mesh is not None:
-            d = shard_batch(d, mesh)
+            # device_put accepts numpy directly: sharding at transfer time,
+            # not land-on-device-0-then-reshard (halves link volume)
+            d = shard_batch(b, mesh)
+        else:
+            d = {k: jnp.asarray(v) for k, v in b.items()}
         q.append(d)
         if len(q) > depth:
             yield q.popleft()
@@ -215,7 +227,8 @@ def main(argv):
     cfg = parse_cli(rest)
     from tpu3dsad.data import get_dataset
 
-    counts = pack_dataset(get_dataset(cfg), out)
+    counts = pack_dataset(get_dataset(cfg), out,
+                          source_dataset=cfg.data.name)
     print(json.dumps({"packed": counts, "out": out}))
 
 

@@ -12,6 +12,17 @@ import flax.linen as nn
 from tpu3dsad.nn import GroupAll, MLPHead, SetAbstraction
 
 
+def build_classifier(cfg, num_classes: int) -> "PointNet2Classifier":
+    """The one place the point-budget-derived sampling schedule lives:
+    train.py and eval.py MUST build the identical architecture or restored
+    checkpoints silently evaluate a different model."""
+    n = cfg.data.num_points
+    return PointNet2Classifier(
+        num_classes=num_classes, dropout=cfg.model.dropout,
+        sa1_npoint=min(512, n // 2), sa2_npoint=min(128, n // 8),
+    )
+
+
 class PointNet2Classifier(nn.Module):
     num_classes: int = 40
     dropout: float = 0.5

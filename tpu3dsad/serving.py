@@ -32,10 +32,12 @@ import numpy as np
 _EXPORT_KEYS = ("center", "size", "heading", "sem_cls", "obj_prob", "keep")
 
 
-def build_inference_fn(cfg, variables, mean_sizes):
-    """Jitted whole-scene fn(points [B,N,3], mask [B,N]) -> parsed dict."""
+def build_inference_fn(cfg, variables, mean_sizes,
+                       with_features: bool = False):
+    """Jitted whole-scene fn(points [B,N,3], mask [B,N][, features [B,N,C]])
+    -> parsed dict. with_features matches checkpoints trained with
+    data.use_color (the calling convention is part of the artifact)."""
     import jax
-    import jax.numpy as jnp
 
     from tpu3dsad.eval.parse import parse_predictions
     from tpu3dsad.models.detector import SizeAdaptiveDetector
@@ -45,29 +47,43 @@ def build_inference_fn(cfg, variables, mean_sizes):
         mean_sizes=tuple(map(tuple, np.asarray(mean_sizes).tolist())),
     )
 
-    def infer(points, mask):
-        ep = model.apply(variables, points, mask=mask, train=False)
+    def _parse(ep):
         parsed = parse_predictions(
             ep, model._mean_sizes(), cfg.model.num_heading_bins, cfg.eval
         )
         return {k: parsed[k] for k in _EXPORT_KEYS if k in parsed}
 
+    if with_features:
+        def infer(points, mask, features):
+            return _parse(
+                model.apply(variables, points, features, mask=mask,
+                            train=False)
+            )
+    else:
+        def infer(points, mask):
+            return _parse(model.apply(variables, points, mask=mask,
+                                      train=False))
+
     return jax.jit(infer)
 
 
 def export_detector(cfg, variables, mean_sizes, batch_size: int,
-                    path: str, platform: str | None = None) -> dict:
+                    path: str, platform: str | None = None,
+                    with_features: bool = False) -> dict:
     """Serialize the inference program for (batch_size, cfg.data.num_points)
     to `path`. Returns a manifest (also written next to the artifact)."""
     import jax
     import jax.numpy as jnp
 
-    fn = build_inference_fn(cfg, variables, mean_sizes)
+    fn = build_inference_fn(cfg, variables, mean_sizes,
+                            with_features=with_features)
     n = cfg.data.num_points
     specs = (
         jax.ShapeDtypeStruct((batch_size, n, 3), jnp.float32),
         jax.ShapeDtypeStruct((batch_size, n), jnp.bool_),
     )
+    if with_features:
+        specs += (jax.ShapeDtypeStruct((batch_size, n, 3), jnp.float32),)
     kwargs = {"platforms": (platform,)} if platform else {}
     exp = jax.export.export(fn, **kwargs)(*specs)
     data = exp.serialize()
@@ -80,6 +96,7 @@ def export_detector(cfg, variables, mean_sizes, batch_size: int,
         "platforms": list(exp.platforms),
         "bytes": len(data),
         "outputs": list(_EXPORT_KEYS),
+        "with_features": with_features,
     }
     with open(path + ".json", "w") as f:
         json.dump(manifest, f)
@@ -122,7 +139,14 @@ def main(argv):
         batch_pts[0] = pts[sel]
         mask = np.zeros((B, N), bool)
         mask[0] = True
-        res = exp.call(jnp.asarray(batch_pts), jnp.asarray(mask))
+        args = [jnp.asarray(batch_pts), jnp.asarray(mask)]
+        if manifest.get("with_features"):
+            raw = np.load(kv["scene"])
+            fb = np.zeros((B, N, 3), np.float32)
+            if raw.shape[1] >= 6:  # color columns ride along when present
+                fb[0] = raw[sel, 3:6].astype(np.float32)
+            args.append(jnp.asarray(fb))
+        res = exp.call(*args)
         out = {k: np.asarray(v) for k, v in res.items()}
         keep = out["keep"][0].astype(bool)
         dets = [
@@ -157,7 +181,12 @@ def main(argv):
     import jax.numpy as jnp
 
     pts = jnp.zeros((1, cfg.data.num_points, 3), jnp.float32)
-    variables = jax.jit(lambda k: model.init(k, pts, train=False))(
+    feats = (
+        jnp.zeros((1, cfg.data.num_points, 3), jnp.float32)
+        if cfg.data.use_color
+        else None
+    )
+    variables = jax.jit(lambda k: model.init(k, pts, feats, train=False))(
         jax.random.key(0)
     )
     tx = train_lib.make_optimizer(cfg.train, 100)
@@ -166,9 +195,13 @@ def main(argv):
         batch_stats=variables["batch_stats"], tx=tx,
     )
     state, step = train_lib.restore_checkpoint(
-        cfg.train.ckpt_dir, state, for_eval=True,
-        use_best=cfg.eval.use_best,
+        kv["ckpt"], state, for_eval=True, use_best=cfg.eval.use_best,
     )
+    if step == 0:
+        raise SystemExit(
+            f"no checkpoint found under {kv['ckpt']!r} — refusing to export "
+            "randomly-initialized weights into a serving artifact"
+        )
     manifest = export_detector(
         cfg,
         {"params": state.params, "batch_stats": state.batch_stats},
@@ -176,6 +209,7 @@ def main(argv):
         cfg.train.batch_size,
         kv["out"],
         platform=kv.get("platform"),
+        with_features=cfg.data.use_color,
     )
     print(json.dumps({"ckpt_step": step, **manifest}))
 

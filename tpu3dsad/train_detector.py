@@ -47,6 +47,14 @@ def run_detector(cfg: Config):
         )
     else:
         dataset = get_dataset(cfg)
+    if (cfg.data.name == "packed" and cfg.data.augment
+            and not cfg.data.device_augment):
+        raise ValueError(
+            "packed scenes are canonical (packed with augment off): training "
+            "with data.augment=true requires data.device_augment=true (the "
+            "on-device flip/rot/scale path) — or set data.augment=false "
+            "deliberately"
+        )
     model = build_detector(cfg, dataset.mean_sizes)
     steps_per_epoch = dataset.steps_per_epoch(cfg.train.batch_size)
 
@@ -73,7 +81,10 @@ def run_detector(cfg: Config):
     if start_step:
         print(f"resumed from step {start_step}", file=sys.stderr)
 
-    train_step, eval_step = train_lib.make_detector_steps(model, cfg)
+    train_step, eval_step = train_lib.make_detector_steps(
+        model, cfg,
+        aug_dataset=getattr(dataset, "source_dataset", None),
+    )
     parse = jax.jit(
         lambda ep: parse_predictions(
             ep, model._mean_sizes(), cfg.model.num_heading_bins, cfg.eval

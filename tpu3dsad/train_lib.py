@@ -132,8 +132,12 @@ def classifier_eval_step(model, state: TrainState, batch):
 # ----------------------------------------------------------------- detector
 
 
-def make_detector_steps(model, cfg: Config):
+def make_detector_steps(model, cfg: Config, aug_dataset: str | None = None):
     """Build jitted train/eval steps for the detector, closed over statics.
+
+    aug_dataset overrides which lineage augmentation preset device
+    augmentation resolves (a PACKED dataset's scenes keep their source
+    recipe — data/packed.py header). Defaults to cfg.data.name.
 
     Returns (train_step(state, batch, rng, bn_momentum) -> (state, metrics),
              eval_step(state, batch) -> (end_points, metrics))."""
@@ -148,7 +152,7 @@ def make_detector_steps(model, cfg: Config):
 
         # the dataset's lineage recipe (or the custom fields) — same
         # resolution the host loaders use
-        aug_params = resolve_aug(cfg.data, cfg.data.name)
+        aug_params = resolve_aug(cfg.data, aug_dataset or cfg.data.name)
 
     def loss_fn(params, batch_stats, batch, rng, bn_momentum):
         end_points, updates = model.apply(

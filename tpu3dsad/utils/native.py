@@ -32,8 +32,8 @@ def _load():
             if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
                 os.makedirs(os.path.dirname(_SO), exist_ok=True)
                 subprocess.run(
-                    ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
-                     "-fPIC", _SRC, "-o", _SO],
+                    ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                     "-fopenmp", "-shared", "-fPIC", _SRC, "-o", _SO],
                     check=True, capture_output=True, timeout=120,
                 )
             lib = ctypes.CDLL(_SO)

@@ -46,7 +46,6 @@ def run_classifier(cfg):
 
     from tpu3dsad import train_lib
     from tpu3dsad.data.synthetic import classification_batch
-    from tpu3dsad.models.classifier import PointNet2Classifier
     from tpu3dsad.parallel import make_mesh, shard_batch
 
     mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
@@ -64,11 +63,9 @@ def run_classifier(cfg):
         make_batch = lambda: classification_batch(
             rng_np, cfg.train.batch_size, cfg.data.num_points, num_classes
         )
-    n = cfg.data.num_points
-    model = PointNet2Classifier(
-        num_classes=num_classes, dropout=cfg.model.dropout,
-        sa1_npoint=min(512, n // 2), sa2_npoint=min(128, n // 8),
-    )
+    from tpu3dsad.models.classifier import build_classifier
+
+    model = build_classifier(cfg, num_classes)
     example = make_batch()
     example_j = {k: jnp.asarray(v) for k, v in example.items()}
 
