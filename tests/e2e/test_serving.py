@@ -84,3 +84,33 @@ def test_serving_cli_roundtrip(tmp_path, rng, capsys):
     assert isinstance(dets, list)
     for d in dets:
         assert set(d) == {"center", "size", "heading", "score", "class"}
+
+
+def test_export_with_features_roundtrip(tmp_path, rng):
+    """Checkpoints trained with colors export a (points, mask, features)
+    calling convention; the artifact reproduces the live pipeline."""
+    cfg = parse_cli(_OVERRIDES + ["data.use_color=true"])
+    ms = class_mean_sizes(cfg.model.num_classes)
+    from tpu3dsad.models.detector import SizeAdaptiveDetector
+
+    model = SizeAdaptiveDetector(cfg.model, mean_sizes=tuple(map(tuple, ms)))
+    pts = jnp.asarray(rng.uniform(-3, 3, (2, 512, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.random((2, 512, 3)).astype(np.float32))
+    mask = jnp.ones((2, 512), bool)
+    variables = model.init(jax.random.key(0), pts, feats, mask=mask,
+                           train=False)
+
+    from tpu3dsad.serving import build_inference_fn
+
+    live = build_inference_fn(cfg, variables, ms, with_features=True)(
+        pts, mask, feats
+    )
+    path = str(tmp_path / "model.bin")
+    manifest = export_detector(cfg, variables, ms, 2, path,
+                               with_features=True)
+    assert manifest["with_features"] is True
+    got = load(path).call(pts, mask, feats)
+    for k in live:
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(live[k]), err_msg=k
+        )

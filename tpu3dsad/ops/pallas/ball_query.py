@@ -78,9 +78,14 @@ def _kernel(c_ref, xT_ref, u_ref, out_ref, run_ref, *, r2: float, k: int):
 
         # exclusive in-ball rank = carried count + (inclusive prefix - self).
         # 0/1 bf16 matmul with fp32 accumulation is exact for counts ≤ Nt.
+        # Precision pinned to DEFAULT: the fp32-parity mode's global
+        # jax_default_matmul_precision=highest would otherwise leak in and
+        # ask Mosaic for an fp32-contract bf16 matmul it cannot lower
+        # ("Bad lhs type") — and exactness here never needed it.
         incl = jnp.dot(
             within.astype(jnp.bfloat16), u_ref[...],
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         rank = run_ref[...] + incl - wf  # [Mt, Nt]
 
