@@ -77,3 +77,30 @@ def test_run_detector_with_color(tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     records = [json.loads(l) for l in out if l.startswith("{")]
     assert any("train/loss" in r for r in records)
+
+
+@pytest.mark.slow
+def test_profile_dir_writes_trace(tmp_path):
+    """train.profile_dir captures the first executed epoch and closes the
+    trace (SURVEY §5 tracing; regression: a resumed run with zero remaining
+    epochs left the trace open)."""
+    cfg = apply_overrides(
+        Config(),
+        [
+            "model.name=detector", "data.name=synthetic",
+            "data.num_points=512", "data.max_boxes=8", "model.num_classes=4",
+            "model.sa_npoints=(128,64,32,16)", "model.sa_nsamples=(8,8,4,4)",
+            "model.sa_channels=((16,16),(16,32),(16,32),(16,32))",
+            "model.fp_channels=((32,32),(32,32))", "model.seed_feat_dim=32",
+            "model.num_proposals=16", "model.cluster_nsample=4",
+            "train.batch_size=8", "train.num_epochs=1",
+            "train.eval_every=100", f"train.ckpt_dir={tmp_path}/ckpt",
+            f"train.profile_dir={tmp_path}/profile",
+        ],
+    )
+    from tpu3dsad.train_detector import run_detector
+
+    run_detector(cfg)
+    import glob
+
+    assert glob.glob(str(tmp_path / "profile" / "**" / "*"), recursive=True)
