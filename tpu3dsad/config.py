@@ -97,6 +97,10 @@ class TrainConfig:
     grad_clip: float = 0.0
     seed: int = 0
     ckpt_dir: str = "./ckpt"
+    # checkpoint cadence in epochs (lineage saves every epoch; raise for
+    # short-epoch runs where the save dominates — the final epoch always
+    # saves regardless)
+    ckpt_every: int = 1
     log_every: int = 10
     eval_every: int = 10  # epochs
     profile_dir: str = ""

@@ -163,7 +163,9 @@ def run_detector(cfg: Config):
                 }
             )
         )
-        train_lib.save_checkpoint(cfg.train.ckpt_dir, state, step)
+        if ((epoch + 1) % cfg.train.ckpt_every == 0
+                or epoch == cfg.train.num_epochs - 1):
+            train_lib.save_checkpoint(cfg.train.ckpt_dir, state, step)
         if profiling:
             jax.profiler.stop_trace()  # first executed epoch only
             profiling = False

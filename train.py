@@ -110,7 +110,9 @@ def run_classifier(cfg):
                 }
             )
         )
-        train_lib.save_checkpoint(cfg.train.ckpt_dir, state, step)
+        if ((epoch + 1) % cfg.train.ckpt_every == 0
+                or epoch == cfg.train.num_epochs - 1):
+            train_lib.save_checkpoint(cfg.train.ckpt_dir, state, step)
 
 
 if __name__ == "__main__":
