@@ -33,7 +33,11 @@ extern "C" {
 // the serial scan (ties → lowest index).
 void fps(const float* xyz, const uint8_t* mask, int64_t n, int64_t m,
          int64_t* out_idx) {
-  if (m <= 0 || n <= 0) return;  // zero-length output: nothing to write
+  if (m <= 0) return;  // zero-length output: nothing to write
+  if (n <= 0) {        // no input points: defined output (all index 0)
+    std::memset(out_idx, 0, sizeof(int64_t) * m);
+    return;
+  }
   std::vector<float> dist(n);
   const float inf = std::numeric_limits<float>::infinity();
   for (int64_t i = 0; i < n; ++i) {

@@ -60,3 +60,43 @@ def test_kitti_fps_cache_invalidation(tmp_path, rng):
     fresh = np.load(caches[0])
     assert fresh[0] != stale[0]  # cache was rewritten for the new cloud
     assert b2["points"].shape == b1["points"].shape
+
+
+def test_batcher_error_with_full_queue_does_not_hang_close():
+    """Regression: a loader failure while the queue is full used to block
+    forever in q.put(e); close() must stop the worker and the error must
+    still surface if the consumer drains."""
+    import threading
+    import time
+
+    from tpu3dsad.data.pipeline import Batcher
+
+    calls = {"n": 0}
+
+    def make(rng):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            return {"x": calls["n"]}  # fills the prefetch=1 queue (+1 in put)
+        raise RuntimeError("loader exploded")
+
+    b = Batcher(make, prefetch=1)
+    time.sleep(0.3)  # worker fills the queue then hits the exception path
+    b.close()
+    b._thread.join(timeout=5.0)
+    assert not b._thread.is_alive(), "worker thread leaked after close()"
+
+
+def test_batcher_error_delivered_to_consumer():
+    from tpu3dsad.data.pipeline import Batcher
+
+    def make(rng):
+        raise RuntimeError("bad scene")
+
+    b = Batcher(make, prefetch=2)
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="bad scene"):
+            next(iter(b))
+    finally:
+        b.close()

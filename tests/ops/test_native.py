@@ -65,3 +65,16 @@ def test_native_fps_speed_at_kitti_scale(rng):
     dt = time.time() - t0
     assert len(set(idx.tolist())) == 2048
     assert dt < 5.0, dt
+
+
+def test_native_fps_degenerate_sizes():
+    """m=0 -> empty; n=0 with m>0 -> defined zeros (regression: the early
+    return left np.empty garbage indices)."""
+    import numpy as np
+
+    from tpu3dsad.utils import native
+
+    pts = np.zeros((0, 3), np.float32)
+    out = native.fps(pts, 4)
+    assert out.shape == (4,) and (out == 0).all()
+    assert native.fps(np.zeros((5, 3), np.float32), 0).shape == (0,)

@@ -33,17 +33,29 @@ AUG_PRESETS = {
 
 
 def resolve_aug(data_cfg, dataset_name: str) -> dict:
-    """Effective augmentation parameters: the dataset's lineage preset
-    (data.aug_preset='auto') or the explicit config fields ('custom')."""
-    if data_cfg.aug_preset != "custom":
+    """Effective augmentation parameters.
+
+    data.aug_preset: 'auto' = the dataset's lineage preset; a preset name
+    ('scannet'/'sunrgbd'/'kitti') forces that recipe; 'custom' honors the
+    explicit aug_* fields. Anything else is an error — the aug_* fields
+    are silently inert outside 'custom', so typos must not pass."""
+    preset = data_cfg.aug_preset
+    if preset == "custom":
+        scale = (
+            None
+            if data_cfg.aug_scale_min == data_cfg.aug_scale_max == 1.0
+            else (data_cfg.aug_scale_min, data_cfg.aug_scale_max)
+        )
+        return dict(flip_x=data_cfg.aug_flip_x, flip_y=data_cfg.aug_flip_y,
+                    rot_range=data_cfg.aug_rot_range, scale_range=scale)
+    if preset == "auto":
         return AUG_PRESETS.get(dataset_name, AUG_PRESETS["scannet"])
-    scale = (
-        None
-        if data_cfg.aug_scale_min == data_cfg.aug_scale_max == 1.0
-        else (data_cfg.aug_scale_min, data_cfg.aug_scale_max)
+    if preset in AUG_PRESETS:
+        return AUG_PRESETS[preset]
+    raise ValueError(
+        f"data.aug_preset={preset!r}: expected 'auto', 'custom', or one of "
+        f"{sorted(AUG_PRESETS)}"
     )
-    return dict(flip_x=data_cfg.aug_flip_x, flip_y=data_cfg.aug_flip_y,
-                rot_range=data_cfg.aug_rot_range, scale_range=scale)
 
 
 def augment_scene(

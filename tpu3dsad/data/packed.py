@@ -96,7 +96,14 @@ def pack_split(dataset, items, out_dir: str, pack_seed: int = 0,
 
 def pack_dataset(dataset, out_root: str, pack_seed: int = 0,
                  source_dataset: str = "") -> dict:
-    """Pack both splits under `<out_root>/{train,val}`. Returns counts."""
+    """Pack both splits under `<out_root>/{train,val}`. Returns counts.
+
+    source_dataset defaults to the dataset's own config name so device
+    augmentation later resolves the right lineage preset."""
+    if not source_dataset:
+        source_dataset = getattr(
+            getattr(dataset, "cfg", None), "data", None
+        ) and dataset.cfg.data.name or ""
     train_items, val_items = _scene_lists(dataset)
     return {
         "train": pack_split(

@@ -69,7 +69,8 @@ def build_inference_fn(cfg, variables, mean_sizes,
 
 def export_detector(cfg, variables, mean_sizes, batch_size: int,
                     path: str, platform: str | None = None,
-                    with_features: bool = False) -> dict:
+                    with_features: bool = False,
+                    source_dataset: str = "") -> dict:
     """Serialize the inference program for (batch_size, cfg.data.num_points)
     to `path`. Returns a manifest (also written next to the artifact)."""
     import jax
@@ -97,6 +98,9 @@ def export_detector(cfg, variables, mean_sizes, batch_size: int,
         "bytes": len(data),
         "outputs": list(_EXPORT_KEYS),
         "with_features": with_features,
+        # lets the run CLI apply the SAME feature normalization the
+        # training loader used (scannet stores 0-255 rgb, trained on /256)
+        "source_dataset": source_dataset,
     }
     with open(path + ".json", "w") as f:
         json.dump(manifest, f)
@@ -145,6 +149,10 @@ def main(argv):
             fb = np.zeros((B, N, 3), np.float32)
             if raw.shape[1] >= 6:  # color columns ride along when present
                 fb[0] = raw[sel, 3:6].astype(np.float32)
+                if manifest.get("source_dataset") == "scannet":
+                    # the scannet loader trains on rgb/256 (0-255 on disk);
+                    # raw values here would be 256x out of distribution
+                    fb[0] /= 256.0
             args.append(jnp.asarray(fb))
         res = exp.call(*args)
         out = {k: np.asarray(v) for k, v in res.items()}
@@ -210,6 +218,7 @@ def main(argv):
         kv["out"],
         platform=kv.get("platform"),
         with_features=cfg.data.use_color,
+        source_dataset=cfg.data.name,
     )
     print(json.dumps({"ckpt_step": step, **manifest}))
 

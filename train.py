@@ -110,7 +110,7 @@ def run_classifier(cfg):
                 }
             )
         )
-        if ((epoch + 1) % cfg.train.ckpt_every == 0
+        if ((epoch + 1) % max(1, cfg.train.ckpt_every) == 0
                 or epoch == cfg.train.num_epochs - 1):
             train_lib.save_checkpoint(cfg.train.ckpt_dir, state, step)
 
