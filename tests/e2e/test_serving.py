@@ -114,3 +114,43 @@ def test_export_with_features_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(
             np.asarray(got[k]), np.asarray(live[k]), err_msg=k
         )
+
+
+def test_run_cli_normalizes_scannet_colors(tmp_path, rng, capsys):
+    """run-mode must apply the training loader's feature normalization:
+    scannet stores 0-255 rgb but trains on /256 (regression: raw colors
+    were 256x out of distribution)."""
+    from tpu3dsad.serving import main as serving_main
+
+    cfg = parse_cli(_OVERRIDES + ["data.use_color=true"])
+    ms = class_mean_sizes(cfg.model.num_classes)
+    from tpu3dsad.models.detector import SizeAdaptiveDetector
+
+    model = SizeAdaptiveDetector(cfg.model, mean_sizes=tuple(map(tuple, ms)))
+    pts = jnp.zeros((1, 512, 3), jnp.float32)
+    feats = jnp.zeros((1, 512, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), pts, feats, train=False)
+
+    path = str(tmp_path / "model.bin")
+    export_detector(cfg, variables, ms, 1, path, with_features=True,
+                    source_dataset="scannet")
+    manifest = json.load(open(path + ".json"))
+    assert manifest["source_dataset"] == "scannet"
+
+    # scene with 0-255 colors; exact N points so sel is identity
+    scene = tmp_path / "scene.npy"
+    raw = np.concatenate(
+        [rng.uniform(-3, 3, (512, 3)), rng.uniform(0, 255, (512, 3))], 1
+    ).astype(np.float32)
+    np.save(scene, raw)
+    serving_main([f"run={path}", f"scene={scene}"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # ground truth: live pipeline on the /256-normalized colors
+    live = build_inference_fn(cfg, variables, ms, with_features=True)(
+        jnp.asarray(raw[None, :, :3]),
+        jnp.ones((1, 512), bool),
+        jnp.asarray(raw[None, :, 3:6] / 256.0),
+    )
+    keep = np.asarray(live["keep"])[0]
+    assert len(out["detections"]) == int(keep.sum())
