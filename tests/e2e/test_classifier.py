@@ -64,3 +64,41 @@ def test_checkpoint_roundtrip(tmp_path):
     # empty dir -> no-op restore
     _, step0 = train_lib.restore_checkpoint(str(tmp_path / "nope"), fresh)
     assert step0 == 0
+
+
+def test_msg_classifier_trains(rng):
+    """model.classifier_msg=true builds the lineage pointnet2_cls_msg
+    architecture (3 radii per SA level, concat-pooled) and trains."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu3dsad import train_lib
+    from tpu3dsad.config import parse_cli
+    from tpu3dsad.data.synthetic import classification_batch
+    from tpu3dsad.models.classifier import build_classifier
+
+    cfg = parse_cli(["model.name=classifier", "model.classifier_msg=true",
+                     "data.num_points=256", "model.num_classes=4",
+                     "train.batch_size=8"])
+    model = build_classifier(cfg, 4)
+    assert model.msg
+    b = classification_batch(np.random.default_rng(0), 8, 256, 4)
+    bj = {k: jnp.asarray(v) for k, v in b.items()}
+    v = jax.jit(lambda k: model.init(
+        k, bj["points"], mask=bj["mask"], train=False))(jax.random.key(0))
+    # MSG: sa1 carries three parallel shared-MLP towers
+    assert {"mlp_0", "mlp_1", "mlp_2"} <= set(v["params"]["sa1"])
+    tx = train_lib.make_optimizer(cfg.train, 10)
+    state = train_lib.TrainState.create(
+        apply_fn=model.apply, params=v["params"],
+        batch_stats=v["batch_stats"], tx=tx,
+    )
+    l0 = None
+    for i in range(6):
+        state, m = train_lib.classifier_train_step(
+            model, state, bj, jax.random.key(i), 0.9
+        )
+        if l0 is None:
+            l0 = float(m["loss"])
+    assert float(m["loss"]) < l0  # overfits the fixed batch

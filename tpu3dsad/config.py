@@ -46,6 +46,9 @@ class ModelConfig:
     # lineage use_height: append the z-above-floor channel (computed
     # IN-MODEL from the scene floor — models/detector.py)
     append_height: bool = True
+    # classifier only: multi-scale grouping (lineage pointnet2_cls_msg —
+    # the ModelNet40 91.9% anchor architecture); default SSG
+    classifier_msg: bool = False
     dropout: float = 0.5
 
 
