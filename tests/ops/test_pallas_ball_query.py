@@ -128,3 +128,38 @@ def test_unsupported_shapes_fall_back(rng):
     pi, pc = bq_pallas(xyz, centers, 0.4, 12)
     xi, xc = bq_xla(xyz, centers, 0.4, 12)
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(xi))
+
+
+def test_kernel_fuzz_sweep_vs_oracle(rng):
+    """Seeded sweep over random (B,N,M,K,r,mask) configs — every supported
+    draw must match the oracle exactly (interpret mode)."""
+    for trial in range(12):
+        trng = np.random.default_rng(1000 + trial)
+        B = int(trng.integers(1, 3))
+        N = int(trng.choice([128, 256, 384, 512, 1024]))
+        M = int(trng.choice([8, 16, 24, 32, 64]))
+        K = int(trng.choice([8, 16, 32, 64]))
+        r = float(trng.uniform(0.1, 1.2))
+        spread = float(trng.uniform(0.3, 3.0))
+        xyz = trng.uniform(-spread, spread, (B, N, 3)).astype(np.float32)
+        centers = trng.uniform(-spread, spread, (B, M, 3)).astype(np.float32)
+        use_mask = trng.random() < 0.5
+        mask = trng.random((B, N)) < 0.85 if use_mask else None
+
+        xyz_j, c_j = jnp.asarray(xyz), jnp.asarray(centers)
+        if not supported(xyz_j, c_j, K):
+            continue
+        m_j = None if mask is None else jnp.asarray(mask)
+        pi, pc = bq_pallas(xyz_j, c_j, r, K, mask=m_j)
+        pi, pc = np.asarray(pi), np.asarray(pc)
+        for b in range(B):
+            x = xyz[b].copy()
+            if mask is not None:
+                x[~mask[b]] = 1e9  # same sentinel the kernel applies
+            oi, oc = ball_query_oracle(x, centers[b], r, K)
+            np.testing.assert_array_equal(
+                pi[b], oi, err_msg=f"trial {trial} idx"
+            )
+            np.testing.assert_array_equal(
+                pc[b], oc, err_msg=f"trial {trial} cnt"
+            )

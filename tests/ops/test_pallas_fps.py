@@ -57,3 +57,35 @@ def test_pallas_fps_nonaligned_n(rng):
     xyz = rng.uniform(-2, 2, (B, N, 3)).astype(np.float32)
     got = np.asarray(fps_pallas(jnp.asarray(xyz), M))
     np.testing.assert_array_equal(got[0], fps_oracle(xyz[0], M))
+
+
+def test_fps_kernel_fuzz_sweep_vs_oracle(rng):
+    """Seeded sweep over random (B,N,M,mask) configs — the Pallas FPS must
+    match the numpy oracle exactly on every draw (interpret mode)."""
+    import numpy as np
+
+    from tpu3dsad.ops.oracle import fps_oracle
+
+    for trial in range(10):
+        trng = np.random.default_rng(2000 + trial)
+        B = int(trng.integers(1, 4))
+        N = int(trng.choice([64, 128, 200, 256, 512]))
+        M = int(trng.integers(4, min(N, 64)))
+        spread = float(trng.uniform(0.3, 4.0))
+        xyz = trng.uniform(-spread, spread, (B, N, 3)).astype(np.float32)
+        mask = (
+            trng.random((B, N)) < 0.8 if trng.random() < 0.5 else None
+        )
+        if mask is not None:
+            mask[:, 0] = True  # seed index 0 must be valid (CUDA semantics)
+        got = np.asarray(
+            fps_pallas(
+                jnp.asarray(xyz), M,
+                mask=None if mask is None else jnp.asarray(mask),
+            )
+        )
+        for b in range(B):
+            want = fps_oracle(xyz[b], M, mask=None if mask is None else mask[b])
+            np.testing.assert_array_equal(
+                got[b], want, err_msg=f"trial {trial}"
+            )
