@@ -212,3 +212,22 @@ def test_scene_mask_excludes_padded_scenes_exactly(rng):
     np.testing.assert_allclose(
         float(m_masked["obj_acc"]), float(m_real["obj_acc"]), rtol=1e-6
     )
+
+
+def test_assign_thresholds_configurable(rng):
+    """model.assign_near/far scale the objectness zone (the lineage's
+    0.3/0.6 m indoor constants assign nothing at outdoor scale)."""
+    ep, batch = _scene(rng, B=1)
+    # push proposals ~1 m off their GT centers: indoor thresholds see no
+    # positives, a 2 m near-zone recovers them
+    ep2 = dict(ep)
+    ep2["proposal_xyz"] = ep["proposal_xyz"] + 1.0
+    ep2["center"] = ep2["proposal_xyz"]
+    pos_i, neg_i, _ = losses.assign_proposals(ep2, batch)
+    pos_o, neg_o, _ = losses.assign_proposals(ep2, batch, near=2.0, far=4.0)
+    assert not bool(pos_i.any())  # indoor constants: nothing positive
+    assert bool(pos_o.any())      # outdoor zone: the shifted matches count
+    _, m_i = losses.detection_loss(ep2, batch, MS, NH, (0.15, 0.3, 0.6))
+    _, m_o = losses.detection_loss(ep2, batch, MS, NH, (0.15, 0.3, 0.6),
+                                   near=2.0, far=4.0)
+    assert float(m_o["pos_ratio"]) > float(m_i["pos_ratio"])

@@ -43,6 +43,11 @@ class ModelConfig:
     # (full lineage checkpoints import into this mode for box-level parity)
     proposal_mode: str = "adaptive"
     proposal_radius: float = 0.3  # lineage ProposalModule r
+    # objectness assignment zone (lineage loss_helper NEAR/FAR 0.3/0.6 m —
+    # indoor constants; outdoor/KITTI configs must scale them with object
+    # size or no proposal ever becomes positive)
+    assign_near: float = 0.3
+    assign_far: float = 0.6
     # lineage use_height: append the z-above-floor channel (computed
     # IN-MODEL from the scene floor — models/detector.py)
     append_height: bool = True

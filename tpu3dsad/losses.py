@@ -72,8 +72,13 @@ def vote_loss(end_points, batch):
     return _masked_mean(jnp.min(dist, axis=(-1, -2)), voting_mask)
 
 
-def assign_proposals(end_points, batch):
+def assign_proposals(end_points, batch, near=NEAR_THRESHOLD,
+                     far=FAR_THRESHOLD):
     """Nearest-GT assignment for each proposal.
+
+    near/far default to the lineage's indoor constants (0.3/0.6 m); outdoor
+    configs scale them via model.assign_near/assign_far (a 0.3 m positive
+    zone around 4 m cars assigns nothing).
 
     Returns (objectness_label [B,P], objectness_valid [B,P] — the not-ignored
     zone, assignment [B,P] int — nearest GT index, pos_mask [B,P])."""
@@ -85,8 +90,8 @@ def assign_proposals(end_points, batch):
 
     has_gt = jnp.any(batch["gt_mask"], axis=-1, keepdims=True)
     valid = end_points["proposal_mask"] & has_gt
-    pos = (nearest_d < NEAR_THRESHOLD) & valid
-    neg = (nearest_d > FAR_THRESHOLD) & valid
+    pos = (nearest_d < near) & valid
+    neg = (nearest_d > far) & valid
     return pos, neg, nearest
 
 
@@ -188,7 +193,7 @@ def scale_selection_loss(end_points, pos, gt_size, radius_bank):
 
 
 def detection_loss(end_points, batch, mean_sizes, num_heading_bins,
-                   radius_bank):
+                   radius_bank, near=NEAR_THRESHOLD, far=FAR_THRESHOLD):
     """Total loss (lineage weighting, SURVEY.md §2.2) + metrics dict.
 
     An optional batch["scene_mask"] [B] (val tail-batch padding from
@@ -202,7 +207,8 @@ def detection_loss(end_points, batch, mean_sizes, num_heading_bins,
         batch["vote_mask"] = batch["vote_mask"] & sm[:, None]
         batch["gt_mask"] = batch["gt_mask"] & sm[:, None]
     v_loss = vote_loss(end_points, batch)
-    pos, neg, nearest = assign_proposals(end_points, batch)
+    pos, neg, nearest = assign_proposals(end_points, batch, near=near,
+                                         far=far)
     o_loss = objectness_loss(end_points, pos, neg)
     c_loss = center_loss(end_points, batch, pos)
     h_cls, h_reg, s_cls, s_reg, sem, gt_size = box_and_sem_loss(

@@ -165,7 +165,10 @@ def make_detector_steps(model, cfg: Config, aug_dataset: str | None = None):
             mutable=["batch_stats"],
             rngs={"dropout": rng},
         )
-        loss, metrics = detection_loss(end_points, batch, mean_sizes, nh, bank)
+        loss, metrics = detection_loss(
+            end_points, batch, mean_sizes, nh, bank,
+            near=cfg.model.assign_near, far=cfg.model.assign_far,
+        )
         return loss, (updates["batch_stats"], metrics)
 
     @partial(jax.jit, donate_argnums=0)
@@ -190,7 +193,10 @@ def make_detector_steps(model, cfg: Config, aug_dataset: str | None = None):
             mask=batch["point_mask"],
             train=False,
         )
-        loss, metrics = detection_loss(end_points, batch, mean_sizes, nh, bank)
+        loss, metrics = detection_loss(
+            end_points, batch, mean_sizes, nh, bank,
+            near=cfg.model.assign_near, far=cfg.model.assign_far,
+        )
         return end_points, metrics
 
     return train_step, eval_step
