@@ -81,3 +81,16 @@ def test_tuple_overrides_with_spaces_and_scalars():
     assert cfg.train.lr_decay_steps == (80, 120)
     assert cfg.train.mesh_axes == ("data",)
     assert cfg.model.cluster_radius_bank == (0.3,)
+
+
+def test_str_tuple_rejects_non_string_literal():
+    # a typo like train.mesh_axes=(1,2) must fail at parse time, not as a
+    # confusing mesh-axis lookup error later (str-typed tuple fields)
+    with pytest.raises(ValueError, match="expected a string"):
+        apply_overrides(Config(), ["train.mesh_axes=(1,2)"])
+    # unquoted names stay valid (not python literals -> flat split path)
+    cfg = apply_overrides(Config(), ["train.mesh_axes=(data,points)"])
+    assert cfg.train.mesh_axes == ("data", "points")
+    # quoted names parse as literals and stay strings
+    cfg = apply_overrides(Config(), ["train.mesh_axes=('data','points')"])
+    assert cfg.train.mesh_axes == ("data", "points")

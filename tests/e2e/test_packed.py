@@ -126,3 +126,27 @@ def test_packed_train_smoke(packed_root, tmp_path):
          "train.eval_every=1000", f"train.ckpt_dir={tmp_path / 'ckpt'}"]
     )
     run_detector(cfg)
+
+
+def test_packed_max_boxes_mismatch_raises(packed_root):
+    _, dst = packed_root
+    cfg = apply_overrides(
+        Config(),
+        ["data.name=packed", f"data.root={dst}", "data.num_points=256",
+         "data.max_boxes=16"],
+    )
+    with pytest.raises(ValueError, match="max_boxes"):
+        get_dataset(cfg)
+
+
+def test_packed_use_color_mismatch_raises(packed_root):
+    # the pack has no point_features; asking for color must fail loudly
+    # instead of silently training colorless
+    _, dst = packed_root
+    cfg = apply_overrides(
+        Config(),
+        ["data.name=packed", f"data.root={dst}", "data.num_points=256",
+         "data.max_boxes=8", "data.use_color=true"],
+    )
+    with pytest.raises(ValueError, match="point_features"):
+        get_dataset(cfg)

@@ -163,3 +163,28 @@ def test_run_cli_normalizes_scannet_colors(tmp_path, rng, capsys):
             np.asarray(det["center"], np.float32),
             np.asarray(live["center"])[0, i],
         )
+
+
+def test_prepare_scene_batch_pads_short_clouds_masked(rng):
+    """A scene with fewer than N points must be zero-padded with mask=False
+    for the pad slots — NOT duplicate-sampled with an all-true mask (pads
+    must never enter balls/FPS/pool statistics as real points)."""
+    from tpu3dsad.serving import prepare_scene_batch
+
+    raw = rng.uniform(-3, 3, (300, 3)).astype(np.float32)
+    manifest = {"batch_size": 2, "num_points": 512}
+    pts, mask = prepare_scene_batch(raw, manifest)
+    pts, mask = np.asarray(pts), np.asarray(mask)
+    assert pts.shape == (2, 512, 3) and mask.shape == (2, 512)
+    np.testing.assert_array_equal(pts[0, :300], raw)
+    np.testing.assert_array_equal(pts[0, 300:], 0.0)
+    assert mask[0, :300].all() and not mask[0, 300:].any()
+    assert not mask[1].any()
+
+    # oversized: subsample without replacement, full-true row mask
+    raw_big = rng.uniform(-3, 3, (700, 4)).astype(np.float32)
+    pts, mask = prepare_scene_batch(raw_big, manifest)
+    pts, mask = np.asarray(pts), np.asarray(mask)
+    assert mask[0].all()
+    flat = {tuple(p) for p in np.asarray(pts[0])}
+    assert len(flat) == 512  # no duplicates from replacement

@@ -169,7 +169,15 @@ def _coerce_obj(obj: Any, typ: Any):
         return int(obj)
     if typ is float:
         return float(obj)
-    return obj if isinstance(obj, str) else str(obj)
+    if not isinstance(obj, str):
+        # a str-annotated field got a non-string literal (e.g. a typo like
+        # train.mesh_axes=(1,2)); silently str()-ing it defers the failure
+        # to a confusing mesh-axis lookup — fail at parse time instead
+        raise ValueError(
+            f"expected a string for this config field, got {obj!r} "
+            f"({type(obj).__name__}) — quote it if it is meant as a name"
+        )
+    return obj
 
 
 def _coerce(val: str, typ: Any):
@@ -189,11 +197,15 @@ def _coerce(val: str, typ: Any):
         import ast
 
         try:
-            return _coerce_obj(ast.literal_eval(s), typ)
+            obj = ast.literal_eval(s)
         except (ValueError, SyntaxError):
-            pass
-        parts = [p for p in s.strip("()[] ").split(",") if p.strip()]
-        return tuple(_coerce(p.strip(), elem) for p in parts)
+            # unquoted strings (mesh_axes=data) aren't python literals —
+            # fall through to the flat split. Note: only the PARSE failure
+            # falls through; a type mismatch inside _coerce_obj (e.g.
+            # mesh_axes=(1,2)) raises loudly.
+            parts = [p for p in s.strip("()[] ").split(",") if p.strip()]
+            return tuple(_coerce(p.strip(), elem) for p in parts)
+        return _coerce_obj(obj, typ)
     if typ is bool or typ == "bool":
         return val.lower() in ("1", "true", "yes", "on")
     if typ is int or typ == "int":

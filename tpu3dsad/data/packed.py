@@ -173,6 +173,20 @@ class PackedDetectionDataset:
                 f"packed split holds {n_pts}-point scenes but "
                 f"data.num_points={cfg.data.num_points} — repack or match"
             )
+        if "gt_centers" in h["keys"]:
+            n_boxes = h["keys"]["gt_centers"]["shape"][0]
+            if n_boxes != cfg.data.max_boxes:
+                raise ValueError(
+                    f"packed split holds {n_boxes}-box scenes but "
+                    f"data.max_boxes={cfg.data.max_boxes} — repack or match"
+                )
+        has_feats = "point_features" in h["keys"]
+        if cfg.data.use_color != has_feats:
+            raise ValueError(
+                f"packed split was built {'with' if has_feats else 'without'} "
+                f"point_features but data.use_color={cfg.data.use_color} — "
+                "repack or match"
+            )
 
     def steps_per_epoch(self, batch_size: int) -> int:
         return max(1, len(self.train) // batch_size)

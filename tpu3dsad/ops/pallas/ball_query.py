@@ -188,13 +188,26 @@ def _ball_query_kernel(xyz, centers, radius: float, nsample: int,
     return idx, cnt
 
 
+def _aligned(m: int, n: int) -> tuple[int, int]:
+    """Pad targets (Mp, Np) for arbitrary (M, N): the kernel requires M
+    divisible by one of {256..8} and N by one of {1024..128}; rather than
+    silently falling back to the 417-1100ms top_k tier for a user's
+    N=20000, pad up to the next multiple (padded support points sit at the
+    1e9 sentinel and can never join a ball; padded center rows are sliced
+    off). N pads to 512-multiples (128 for small clouds) so _pick_tiles
+    still lands on large tiles; M to 64 (8 for small M)."""
+    mq = 64 if m >= 64 else _R_WIDTH
+    nq = 512 if n >= 512 else 128
+    return -(-m // mq) * mq, -(-n // nq) * nq
+
+
 def supported(xyz, centers, nsample: int) -> bool:
     B, N, _ = xyz.shape
     M = centers.shape[1]
     return (
         nsample % _R_WIDTH == 0
         and nsample <= N
-        and _pick_tiles(M, N) is not None
+        and _pick_tiles(*_aligned(M, N)) is not None
     )
 
 
@@ -218,8 +231,20 @@ def ball_query(xyz, centers, radius, nsample, *, mask=None, exact=True,
     # the downstream gather, exactly the lineage ball_query semantics.
     xyz = jax.lax.stop_gradient(xyz)
     centers = jax.lax.stop_gradient(centers)
-    return _ball_query_kernel(xyz, centers, float(radius), int(nsample),
-                              interpret=interpret)
+    B, N, _ = xyz.shape
+    M = centers.shape[1]
+    Mp, Np = _aligned(M, N)
+    if Np != N:  # sentinel pads can never be within any real ball
+        pad = jnp.full((B, Np - N, 3), 1e9, xyz.dtype)
+        xyz = jnp.concatenate([xyz, pad], axis=1)
+    if Mp != M:  # dummy centers; their output rows are sliced off below
+        cpad = jnp.zeros((B, Mp - M, 3), centers.dtype)
+        centers = jnp.concatenate([centers, cpad], axis=1)
+    idx, cnt = _ball_query_kernel(xyz, centers, float(radius), int(nsample),
+                                  interpret=interpret)
+    if Mp != M:
+        idx, cnt = idx[:, :M], cnt[:, :M]
+    return idx, cnt
 
 
 def query_and_group(xyz, centers, radius, nsample, features=None, mask=None,

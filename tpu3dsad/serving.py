@@ -116,6 +116,37 @@ def load(path: str):
         return jax.export.deserialize(f.read())
 
 
+def prepare_scene_batch(raw: np.ndarray, manifest: dict) -> list:
+    """Fit one raw scene [P, 3(+color)] to the artifact's fixed calling
+    convention. Oversized clouds subsample without replacement; short clouds
+    pad with zeros + mask=False (repo invariant: padding must never join a
+    ball or pollute a pool — duplicate-sampled "real" points would)."""
+    import jax.numpy as jnp
+
+    B, N = manifest["batch_size"], manifest["num_points"]
+    pts = raw[:, :3].astype(np.float32)
+    sel = (
+        np.random.default_rng(0).choice(len(pts), N, replace=False)
+        if len(pts) > N
+        else np.arange(len(pts))
+    )
+    batch_pts = np.zeros((B, N, 3), np.float32)
+    batch_pts[0, : len(sel)] = pts[sel]
+    mask = np.zeros((B, N), bool)
+    mask[0, : len(sel)] = True
+    args = [jnp.asarray(batch_pts), jnp.asarray(mask)]
+    if manifest.get("with_features"):
+        fb = np.zeros((B, N, 3), np.float32)
+        if raw.shape[1] >= 6:  # color columns ride along when present
+            fb[0, : len(sel)] = raw[sel, 3:6].astype(np.float32)
+            if manifest.get("source_dataset") == "scannet":
+                # the scannet loader trains on rgb/256 (0-255 on disk);
+                # raw values here would be 256x out of distribution
+                fb[0] /= 256.0
+        args.append(jnp.asarray(fb))
+    return args
+
+
 def main(argv):
     from tpu3dsad.config import parse_cli
 
@@ -128,32 +159,9 @@ def main(argv):
             rest.append(a)
 
     if "run" in kv:  # serve one scene from an exported artifact
-        import jax.numpy as jnp
-
         exp = load(kv["run"])
         manifest = json.load(open(kv["run"] + ".json"))
-        B, N = manifest["batch_size"], manifest["num_points"]
-        pts = np.load(kv["scene"])[:, :3].astype(np.float32)
-        sel = (
-            np.random.default_rng(0).choice(len(pts), N, replace=len(pts) < N)
-            if len(pts) != N
-            else np.arange(N)
-        )
-        batch_pts = np.zeros((B, N, 3), np.float32)
-        batch_pts[0] = pts[sel]
-        mask = np.zeros((B, N), bool)
-        mask[0] = True
-        args = [jnp.asarray(batch_pts), jnp.asarray(mask)]
-        if manifest.get("with_features"):
-            raw = np.load(kv["scene"])
-            fb = np.zeros((B, N, 3), np.float32)
-            if raw.shape[1] >= 6:  # color columns ride along when present
-                fb[0] = raw[sel, 3:6].astype(np.float32)
-                if manifest.get("source_dataset") == "scannet":
-                    # the scannet loader trains on rgb/256 (0-255 on disk);
-                    # raw values here would be 256x out of distribution
-                    fb[0] /= 256.0
-            args.append(jnp.asarray(fb))
+        args = prepare_scene_batch(np.load(kv["scene"]), manifest)
         res = exp.call(*args)
         out = {k: np.asarray(v) for k, v in res.items()}
         keep = out["keep"][0].astype(bool)
