@@ -204,11 +204,16 @@ class PackedDetectionDataset:
         )
 
 
-def device_prefetch(batches, mesh=None, depth: int = 2):
+def device_prefetch(batches, mesh=None, depth: int = 2,
+                    stacked: bool = False):
     """Double-buffered host→device feed: keep `depth` batches' transfers
     dispatched ahead of the consumer so the copy of batch i+1 overlaps the
     train step on batch i (JAX dispatch is async; yielding only after the
-    next transfer is enqueued is what creates the overlap window)."""
+    next transfer is enqueued is what creates the overlap window).
+
+    stacked=True marks [k, B, ...] step-block leaves (train.steps_per_call):
+    the batch dim to shard over the data axis is then axis 1, with the
+    leading k (scan) axis replicated."""
     from collections import deque
 
     import jax.numpy as jnp
@@ -220,7 +225,7 @@ def device_prefetch(batches, mesh=None, depth: int = 2):
         if mesh is not None:
             # device_put accepts numpy directly: sharding at transfer time,
             # not land-on-device-0-then-reshard (halves link volume)
-            d = shard_batch(b, mesh)
+            d = shard_batch(b, mesh, batch_axis_index=1 if stacked else 0)
         else:
             d = {k: jnp.asarray(v) for k, v in b.items()}
         q.append(d)

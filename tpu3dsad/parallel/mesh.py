@@ -21,16 +21,23 @@ def make_mesh(
     return Mesh(grid, axis_names)
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Shard the leading (batch) dim over `axis`, replicate the rest."""
-    return NamedSharding(mesh, P(axis))
+def batch_sharding(
+    mesh: Mesh, axis: str = "data", batch_axis_index: int = 0
+) -> NamedSharding:
+    """Shard the batch dim (at `batch_axis_index`) over `axis`, replicate
+    the rest. batch_axis_index=1 serves [k, B, ...] step-block leaves
+    (train.steps_per_call): the leading scan axis stays replicated."""
+    spec = (None,) * batch_axis_index + (axis,)
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
-    """device_put every leaf with its leading dim sharded over `axis`."""
-    sh = batch_sharding(mesh, axis)
+def shard_batch(
+    batch: dict, mesh: Mesh, axis: str = "data", batch_axis_index: int = 0
+) -> dict:
+    """device_put every leaf with its batch dim sharded over `axis`."""
+    sh = batch_sharding(mesh, axis, batch_axis_index)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

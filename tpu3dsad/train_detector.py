@@ -57,6 +57,13 @@ def run_detector(cfg: Config):
         )
     model = build_detector(cfg, dataset.mean_sizes)
     steps_per_epoch = dataset.steps_per_epoch(cfg.train.batch_size)
+    # k>1 fuses k steps into one device dispatch (train.steps_per_call);
+    # epochs round down to a multiple of k (scenes are sampled randomly, so
+    # no scene is systematically skipped — epochs are step-count brackets).
+    # Rounded BEFORE the optimizer so lr-decay boundaries match real epochs.
+    k = max(1, cfg.train.steps_per_call)
+    if k > 1:
+        steps_per_epoch = max(1, steps_per_epoch // k) * k
 
     rng_np = np.random.default_rng(cfg.train.seed)
     example = dataset.train_batch(rng_np, cfg.train.batch_size)
@@ -106,6 +113,25 @@ def run_detector(cfg: Config):
     from tpu3dsad.data import Batcher
 
     device_synth = cfg.data.device_synth and cfg.data.name == "synthetic"
+    train_block = None
+    if k > 1:
+        # the scanned k-step block; with device_synth the batches are
+        # generated INSIDE the scan (zero host work / link bytes per block)
+        synth_fn = None
+        if device_synth:
+            from tpu3dsad.data.device_pipeline import synthetic_detection_batch
+
+            def synth_fn(bkey):
+                return synthetic_detection_batch(
+                    bkey, cfg.train.batch_size, cfg.data.num_points,
+                    cfg.model.num_classes, cfg.data.max_boxes,
+                )
+
+        train_block = train_lib.make_detector_train_block(
+            model, cfg, k,
+            aug_dataset=getattr(dataset, "source_dataset", None),
+            synth_fn=synth_fn,
+        )
     if device_synth:
         from tpu3dsad.data.device_pipeline import synthetic_detection_batch
 
@@ -120,33 +146,64 @@ def run_detector(cfg: Config):
             )
 
         batcher = None
-        raw_batches = iter(_gen, object())  # infinite
+        raw_batches = None if k > 1 else iter(_gen, object())  # infinite
     else:
-        batcher = Batcher(
-            lambda rng: dataset.train_batch(rng, cfg.train.batch_size),
-            seed=cfg.train.seed,
-            prefetch=2,
-        )
+        bsz = cfg.train.batch_size
+
+        def _host_batch(rng, bsz=bsz, k=k):
+            if k == 1:
+                return dataset.train_batch(rng, bsz)
+            # ONE bulk gather of k*B scenes, reshaped to a [k, B, ...] block
+            flat = dataset.train_batch(rng, k * bsz)
+            return {
+                name: v.reshape((k, bsz) + v.shape[1:])
+                for name, v in flat.items()
+            }
+
+        batcher = Batcher(_host_batch, seed=cfg.train.seed, prefetch=2)
         raw_batches = iter(batcher)
     # double-buffered device feed: batch i+1's host→HBM copy (or on-device
     # generation) is dispatched before step i is consumed (data/packed.py)
     from tpu3dsad.data.packed import device_prefetch
 
-    batches = device_prefetch(raw_batches, mesh)
+    batches = (
+        None
+        if raw_batches is None
+        else device_prefetch(raw_batches, mesh, stacked=k > 1)
+    )
 
     key = jax.random.key(cfg.train.seed + 1)
     step = start_step
     for epoch in range(start_step // steps_per_epoch, cfg.train.num_epochs):
         bn_m = train_lib.bn_momentum_at(cfg.train, epoch)
         t0 = time.time()
-        for _ in range(steps_per_epoch):
-            batch = next(batches)  # already sharded by device_prefetch
-            key, sub = jax.random.split(key)
-            state, metrics = train_step(state, batch, sub, bn_m)
-            step += 1
-            if step % cfg.train.log_every == 0:
-                m = {k: round(float(v), 4) for k, v in metrics.items()}
-                logger.log(step, {"epoch": epoch, **m}, prefix="train/")
+        if k > 1:
+            for _ in range(steps_per_epoch // k):
+                block = None if batches is None else next(batches)
+                key, sub = jax.random.split(key)
+                state, mstack = train_block(state, block, sub, bn_m)
+                base = step
+                step += k
+                log_rows = [
+                    j for j in range(k)
+                    if (base + j + 1) % cfg.train.log_every == 0
+                ]
+                if log_rows:
+                    mh = {n: np.asarray(v) for n, v in mstack.items()}
+                    for j in log_rows:
+                        m = {n: round(float(v[j]), 4) for n, v in mh.items()}
+                        logger.log(base + j + 1, {"epoch": epoch, **m},
+                                   prefix="train/")
+            metrics = {n: v[-1] for n, v in mstack.items()}
+        else:
+            for _ in range(steps_per_epoch):
+                batch = next(batches)  # already sharded by device_prefetch
+                key, sub = jax.random.split(key)
+                state, metrics = train_step(state, batch, sub, bn_m)
+                step += 1
+                if step % cfg.train.log_every == 0:
+                    m = {n: round(float(v), 4) for n, v in metrics.items()}
+                    logger.log(step, {"epoch": epoch, **m}, prefix="train/")
         # fetch one scalar to close the async dispatch pipe before timing
         # (block_until_ready is a no-op under the axon tunnel; steps are
         # sequential, so the last step's metrics sync the whole epoch)
