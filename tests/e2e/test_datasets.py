@@ -47,21 +47,27 @@ def _write_oriented(root, split="train", scenes=3, n=800, cols=6, nc=10):
         np.save(d / f"{i:06d}_bbox.npy", bbox)
 
 
-def _check_batch(b, B, N, max_boxes):
+def _check_batch(b, B, N, max_boxes, V=3):
     assert b["points"].shape == (B, N, 3)
     assert b["point_mask"].shape == (B, N)
-    assert b["vote_targets"].shape == (B, N, 3)
+    # default vote_candidates=3 → [B,N,V,3]; V=1 keeps the compact [B,N,3]
+    want_vshape = (B, N, 3) if V == 1 else (B, N, V, 3)
+    assert b["vote_targets"].shape == want_vshape
     assert b["gt_centers"].shape == (B, max_boxes, 3)
     assert b["gt_mask"].any()
-    # votes consistent: voting point + offset ≈ some GT center
+    # votes consistent: voting point + EVERY candidate offset ≈ a GT center
+    # (candidates are exact centers of containing boxes or primary copies)
     for bi in range(B):
         vm = b["vote_mask"][bi] & b["point_mask"][bi]
         if not vm.any():
             continue
-        tgt = b["points"][bi][vm] + b["vote_targets"][bi][vm]
+        vt = b["vote_targets"][bi][vm]
+        if vt.ndim == 2:
+            vt = vt[:, None, :]
+        tgt = b["points"][bi][vm][:, None, :] + vt  # [n,V,3]
         gt = b["gt_centers"][bi][b["gt_mask"][bi]]
         d = np.min(
-            np.linalg.norm(tgt[:, None] - gt[None], axis=-1), axis=-1
+            np.linalg.norm(tgt[:, :, None] - gt[None, None], axis=-1), axis=-1
         )
         assert d.max() < 0.75, d.max()  # instance medians near a box center
 
@@ -252,11 +258,20 @@ def test_scannet_multi_candidate_votes(tmp_path, rng):
             gt = b["gt_centers"][bi][b["gt_mask"][bi]]
             d = np.min(np.linalg.norm(tgt[:, None] - gt[None], axis=-1), axis=-1)
             assert d.max() < 0.75
-    # default stays single-candidate [N,3]
-    cfg1 = apply_overrides(
+    # the DEFAULT is the lineage GT_VOTE_FACTOR=3 ([N,3,3]); an explicit
+    # vote_candidates=1 gives the compact single-owner [N,3]
+    cfg_def = apply_overrides(
         Config(),
         ["data.name=scannet", f"data.root={tmp_path}", "data.num_points=256",
          "data.max_boxes=8"],
+    )
+    assert get_dataset(cfg_def).train_batch(rng, 1)[
+        "vote_targets"
+    ].shape == (1, 256, 3, 3)
+    cfg1 = apply_overrides(
+        Config(),
+        ["data.name=scannet", f"data.root={tmp_path}", "data.num_points=256",
+         "data.max_boxes=8", "data.vote_candidates=1"],
     )
     assert get_dataset(cfg1).train_batch(rng, 1)["vote_targets"].shape == (1, 256, 3)
 

@@ -120,7 +120,7 @@ def augment_batch(
 @partial(
     jax.jit,
     static_argnames=("batch_size", "num_points", "num_classes", "max_boxes",
-                     "max_objects", "min_objects"),
+                     "max_objects", "min_objects", "vote_candidates"),
 )
 def synthetic_detection_batch(
     key,
@@ -131,6 +131,7 @@ def synthetic_detection_batch(
     max_objects: int = 8,
     min_objects: int = 3,
     room: float = 4.0,
+    vote_candidates: int = 1,
 ):
     """Device-resident detection_batch (data/synthetic.py semantics).
 
@@ -211,6 +212,33 @@ def synthetic_detection_batch(
         jnp.take_along_axis(centers, own[..., None], axis=1) - points,
         0.0,
     )
+    if vote_candidates > 1:
+        # lineage GT_VOTE_FACTOR candidates on device (same convention as
+        # pipeline.candidate_votes): slots 1..V-1 take OTHER boxes that
+        # contain the point under oriented containment, box-index order;
+        # unused slots copy the primary offset
+        V = vote_candidates
+        rel = points[:, :, None, :] - centers[:, None, :, :]  # [B,N,G,3]
+        ch, sh = jnp.cos(headings), jnp.sin(headings)  # [B,G]
+        lx = ch[:, None, :] * rel[..., 0] + sh[:, None, :] * rel[..., 1]
+        ly = -sh[:, None, :] * rel[..., 0] + ch[:, None, :] * rel[..., 1]
+        local = jnp.stack([lx, ly, rel[..., 2]], -1)
+        inside = jnp.all(
+            jnp.abs(local) <= sizes[:, None, :, :] / 2 + 1e-6, -1
+        )  # [B,N,G]
+        inside = inside & obj_valid[:, None, :]
+        inside = inside & (jnp.arange(G)[None, None, :] != own[:, :, None])
+        order = jnp.argsort(~inside, axis=-1, stable=True)[..., : V - 1]
+        valid_c = jnp.take_along_axis(inside, order, axis=-1)  # [B,N,V-1]
+        cand = jnp.take_along_axis(
+            centers[:, None, :, :], order[..., None], axis=2
+        )  # [B,N,V-1,3]
+        off = cand - points[:, :, None, :]
+        primary = votes[:, :, None, :]
+        tail = jnp.where(valid_c[..., None], off, primary)
+        votes = jnp.concatenate(
+            [primary, tail] + [primary] * (V - 1 - tail.shape[2]), axis=2
+        )
 
     pad = max_boxes - G
     z3 = jnp.zeros((B, pad, 3))

@@ -174,6 +174,12 @@ class KittiDetectionDataset:
                  classes[:, None].astype(np.float32)], axis=1
             )
             votes[:n], vmask[:n] = native.vote_targets(points[:n], boxes8)
+        V = max(1, self.cfg.data.vote_candidates)
+        if V > 1:
+            # outdoor boxes never overlap (KITTI annotation convention), so
+            # every candidate slot is a copy of the single owner — shape
+            # parity with the indoor loaders' [N,V,3], no extra semantics
+            votes = np.repeat(votes[:, None, :], V, axis=1)
 
         max_boxes = self.cfg.data.max_boxes
         c, bm = pad_boxes(centers, max_boxes)

@@ -45,17 +45,57 @@ def pad_boxes(arr: np.ndarray, max_boxes: int):
     return out, mask
 
 
-def scene_to_training_dict(points, spec, owner, max_boxes: int):
+def candidate_votes(points, votes, vmask, owner, centers, sizes, headings,
+                    V: int):
+    """Expand single-owner votes [N,3] to lineage GT_VOTE_FACTOR candidates
+    [N,V,3] (loss takes the min — losses.py vote_loss).
+
+    Slot 0 keeps the primary offset; slots 1..V-1 take OTHER boxes that
+    contain the point under ORIENTED containment (same convention as
+    sunrgbd.points_in_oriented_box), in box-index order; unused slots COPY
+    the primary offset (never zeros — a zero slot would reward votes that
+    stay at the seed). `owner` [N] is the primary box per point (-1 none).
+    Fully vectorized — a per-point python loop stalls the 1-core host feed.
+    """
+    out = np.repeat(votes[:, None, :], V, axis=1)  # [N,V,3]
+    if V <= 1 or not len(centers) or not vmask.any():
+        return out
+    vp = np.nonzero(vmask)[0]
+    rel = points[vp][:, None, :] - centers[None, :, :]  # [n,G,3]
+    ch, sh = np.cos(headings), np.sin(headings)
+    lx = ch[None, :] * rel[..., 0] + sh[None, :] * rel[..., 1]
+    ly = -sh[None, :] * rel[..., 0] + ch[None, :] * rel[..., 1]
+    local = np.stack([lx, ly, rel[..., 2]], -1)
+    inside = np.all(np.abs(local) <= sizes[None] / 2 + 1e-6, -1)  # [n,G]
+    inside[np.arange(len(vp)), owner[vp]] = False  # never repeat the owner
+    # first V-1 remaining containing boxes, box-index order (fewer boxes
+    # than slots leaves the tail at the primary copy from np.repeat)
+    order = np.argsort(~inside, axis=1, kind="stable")[:, : V - 1]
+    kslots = order.shape[1]
+    valid_c = np.take_along_axis(inside, order, axis=1)
+    off = centers[order] - points[vp][:, None, :]  # [n,k,3]
+    out[vp, 1 : 1 + kslots] = np.where(valid_c[..., None], off, out[vp, :1])
+    return out
+
+
+def scene_to_training_dict(points, spec, owner, max_boxes: int,
+                           vote_candidates: int = 1):
     """Build the padded training example for one detection scene.
 
     Vote-target convention (lineage scannet_detection_dataset.__getitem__ /
     loss_helper — SURVEY.md §2.2): every point belonging to an object votes
-    for that object's center; non-object points have vote_mask 0.
+    for that object's center; non-object points have vote_mask 0. With
+    vote_candidates V>1 the targets are [N,V,3] (candidate_votes).
     """
     n = points.shape[0]
     votes = np.zeros((n, 3), np.float32)
     vote_mask = owner >= 0
     votes[vote_mask] = spec.centers[owner[vote_mask]] - points[vote_mask]
+    if vote_candidates > 1:
+        votes = candidate_votes(
+            points, votes, vote_mask, owner,
+            spec.centers, spec.sizes, spec.headings, vote_candidates,
+        )
 
     centers, box_mask = pad_boxes(spec.centers, max_boxes)
     sizes, _ = pad_boxes(spec.sizes, max_boxes)

@@ -34,6 +34,7 @@ class SyntheticDetectionDataset:
             self.cfg.data.num_points,
             self.num_classes,
             self.cfg.data.max_boxes,
+            vote_candidates=self.cfg.data.vote_candidates,
         )
 
     def val_batches(self, rng: np.random.Generator, batch_size: int):
@@ -45,6 +46,7 @@ class SyntheticDetectionDataset:
                 self.cfg.data.num_points,
                 self.num_classes,
                 self.cfg.data.max_boxes,
+                vote_candidates=self.cfg.data.vote_candidates,
             )
 
 

@@ -144,38 +144,14 @@ class ScanNetDetectionDataset:
                 owner[pt_idx] = b
         if V > 1:
             # lineage GT_VOTE_FACTOR>1: a voting point inside several GT
-            # boxes carries each box center as a candidate; unused slots
-            # COPY the primary offset (losses.py vote_loss takes the min).
-            # The primary owner already fills slot 0, so the extra slots
-            # take OTHER containing boxes (else an owner that also contains
-            # the point would crowd out the real overlap candidates).
-            votes = np.repeat(votes[:, None, :], V, axis=1)  # [N,V,3]
-            if len(centers):
-                # ORIENTED containment (same convention as sunrgbd.
-                # points_in_oriented_box): after augmentation the boxes
-                # carry nonzero headings, so an axis-aligned test would
-                # mis-assign corner/edge points. Fully vectorized — the
-                # old per-point python loop stalled the 1-core host feed.
-                vp = np.nonzero(vmask)[0]
-                rel = points[vp][:, None, :] - centers[None, :, :]  # [n,G,3]
-                ch, sh = np.cos(headings), np.sin(headings)
-                lx = ch[None, :] * rel[..., 0] + sh[None, :] * rel[..., 1]
-                ly = -sh[None, :] * rel[..., 0] + ch[None, :] * rel[..., 1]
-                local = np.stack([lx, ly, rel[..., 2]], -1)
-                inside = np.all(
-                    np.abs(local) <= sizes[None] / 2 + 1e-6, -1
-                )  # [n,G]
-                inside[np.arange(len(vp)), owner[vp]] = False  # not the owner
-                # first V-1 remaining containing boxes, box-index order
-                # (fewer boxes than slots leaves the tail at the primary
-                # copy from np.repeat above)
-                order = np.argsort(~inside, axis=1, kind="stable")[:, : V - 1]
-                kslots = order.shape[1]
-                valid_c = np.take_along_axis(inside, order, axis=1)
-                off = centers[order] - points[vp][:, None, :]  # [n,k,3]
-                votes[vp, 1 : 1 + kslots] = np.where(
-                    valid_c[..., None], off, votes[vp, :1]
-                )
+            # boxes carries each box center as a candidate; the shared
+            # oriented-containment expansion (pipeline.candidate_votes)
+            # fills slots 1..V-1 with OTHER containing boxes.
+            from tpu3dsad.data.pipeline import candidate_votes
+
+            votes = candidate_votes(
+                points, votes, vmask, owner, centers, sizes, headings, V
+            )
 
         max_boxes = self.cfg.data.max_boxes
         c, bm = pad_boxes(centers, max_boxes)

@@ -113,13 +113,28 @@ class SunRGBDDetectionDataset:
                 **resolve_aug(self.cfg.data, "sunrgbd"),
             )
 
+        V = max(1, self.cfg.data.vote_candidates)
         votes = np.zeros((n_budget, 3), np.float32)
         vmask = np.zeros(n_budget, bool)
         votes_file = os.path.join(d, f"{idx}_votes.npy")
         if (not (augment and self.cfg.data.augment)) and os.path.exists(votes_file):
-            pre = np.load(votes_file)[sel]  # [n_budget, 4]: mask, dxyz
+            # [N,4] (mask, dxyz) or the lineage 10-col layout (mask + the
+            # GT_VOTE_FACTOR=3 candidate offsets of sunrgbd_data.py)
+            pre = np.load(votes_file)[sel]
             vmask = pre[:, 0] > 0.5
-            votes = pre[:, 1:4].astype(np.float32)
+            if pre.shape[1] >= 10:
+                cand = pre[:, 1:10].astype(np.float32).reshape(n_budget, 3, 3)
+                votes = cand[:, 0]
+                if V > 1:
+                    full = np.repeat(votes[:, None, :], V, axis=1)
+                    full[:, 1 : min(V, 3)] = cand[:, 1 : min(V, 3)]
+                    votes = full
+            else:
+                votes = pre[:, 1:4].astype(np.float32)
+                if V > 1:
+                    votes = self._expand_candidates(
+                        points, votes, vmask, centers, sizes, headings, V
+                    )
         elif len(centers):
             from tpu3dsad.utils import native
 
@@ -128,6 +143,12 @@ class SunRGBDDetectionDataset:
                  classes[:, None].astype(np.float32)], axis=1
             )
             votes, vmask = native.vote_targets(points, boxes8)
+            if V > 1:
+                votes = self._expand_candidates(
+                    points, votes, vmask, centers, sizes, headings, V
+                )
+        elif V > 1:  # boxless scene: keep the [N,V,3] shape batch-stackable
+            votes = np.repeat(votes[:, None, :], V, axis=1)
 
         max_boxes = self.cfg.data.max_boxes
         c, bm = pad_boxes(centers, max_boxes)
@@ -147,6 +168,23 @@ class SunRGBDDetectionDataset:
             "gt_classes": k,
             "gt_mask": bm,
         }
+
+    @staticmethod
+    def _expand_candidates(points, votes, vmask, centers, sizes, headings, V):
+        """[N,3]→[N,V,3] via pipeline.candidate_votes; the primary owner is
+        recovered as the box whose center the vote points at (exact for
+        votes our own generators produce; nearest-center for file votes)."""
+        from tpu3dsad.data.pipeline import candidate_votes
+
+        owner = np.full(len(points), -1, np.int64)
+        if vmask.any() and len(centers):
+            tgt = points[vmask] + votes[vmask]
+            owner[vmask] = np.argmin(
+                np.sum((tgt[:, None, :] - centers[None]) ** 2, -1), axis=1
+            )
+        return candidate_votes(
+            points, votes, vmask, owner, centers, sizes, headings, V
+        )
 
     def _batch(self, items, rng, batch_size, augment):
         picks = rng.choice(len(items), batch_size, replace=len(items) < batch_size)

@@ -186,13 +186,15 @@ def detection_batch(
     num_points: int,
     num_classes: int = 4,
     max_boxes: int = 64,
+    vote_candidates: int = 1,
 ):
     """Padded detection batch with vote targets (see losses.py for the
-    target convention)."""
+    target convention; vote_candidates>1 → [N,V,3] GT_VOTE_FACTOR)."""
     from tpu3dsad.data.pipeline import scene_to_training_dict
 
     items = []
     for _ in range(batch_size):
         points, spec, owner = detection_scene(rng, num_points, num_classes)
-        items.append(scene_to_training_dict(points, spec, owner, max_boxes))
+        items.append(scene_to_training_dict(points, spec, owner, max_boxes,
+                                            vote_candidates=vote_candidates))
     return {k: np.stack([it[k] for it in items]) for k in items[0]}

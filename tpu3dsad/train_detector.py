@@ -125,6 +125,7 @@ def run_detector(cfg: Config):
                 return synthetic_detection_batch(
                     bkey, cfg.train.batch_size, cfg.data.num_points,
                     cfg.model.num_classes, cfg.data.max_boxes,
+                    vote_candidates=cfg.data.vote_candidates,
                 )
 
         train_block = train_lib.make_detector_train_block(
@@ -143,6 +144,7 @@ def run_detector(cfg: Config):
             return synthetic_detection_batch(
                 sub, cfg.train.batch_size, cfg.data.num_points,
                 cfg.model.num_classes, cfg.data.max_boxes,
+                vote_candidates=cfg.data.vote_candidates,
             )
 
         batcher = None
