@@ -23,13 +23,9 @@ from tpu3dsad.train_detector import build_detector, evaluate
 def main(argv):
     cfg = parse_cli(argv)
     print(describe(cfg), file=sys.stderr)
-    from tpu3dsad import ops
+    from tpu3dsad import train_lib as _tl
 
-    if cfg.ops_impl != "xla":
-        ops.set_default_impl(cfg.ops_impl)
-    ops.set_fast_grouping(cfg.ops_fast_grouping)
-    if not cfg.train.bf16_matmul:
-        jax.config.update("jax_default_matmul_precision", "highest")
+    _tl.apply_runtime_config(cfg)
     if cfg.model.name == "classifier":
         return eval_classifier(cfg)
     dataset = get_dataset(cfg)

@@ -159,3 +159,43 @@ def test_synthetic_batch_small_max_boxes_truncates(rng):
         d = np.min(np.linalg.norm(tgt[:, None] - gt[None], axis=-1), axis=-1)
         # a vote may target a truncated (dropped) box; most should match
         assert np.median(d) < 1.0
+
+
+def test_device_synth_candidate_votes_match_oracle(rng):
+    """vote_candidates>1 on device == pipeline.candidate_votes semantics:
+    slot 0 = primary owner; slots 1..V-1 = OTHER containing boxes under
+    oriented containment, box-index order; unused slots copy the primary.
+    (The device path is cumsum-rank + einsum, not argsort — this pins it
+    to the host oracle on the generated scene itself.)"""
+    from tpu3dsad.data.pipeline import candidate_votes
+
+    b = synthetic_detection_batch(
+        jax.random.key(11), 3, 512, num_classes=4, max_boxes=8,
+        vote_candidates=3,
+    )
+    assert b["vote_targets"].shape == (3, 512, 3, 3)
+    pts = np.asarray(b["points"])
+    votes = np.asarray(b["vote_targets"])
+    vm = np.asarray(b["vote_mask"])
+    gc = np.asarray(b["gt_centers"])
+    gs = np.asarray(b["gt_sizes"])
+    gh = np.asarray(b["gt_headings"])
+    gm = np.asarray(b["gt_mask"])
+    for bi in range(pts.shape[0]):
+        g = int(gm[bi].sum())
+        centers, sizes, headings = gc[bi][:g], gs[bi][:g], gh[bi][:g]
+        # recover the primary owner from slot 0 (exact: offsets point at
+        # the owning center)
+        owner = np.full(pts.shape[1], -1, np.int64)
+        if vm[bi].any():
+            tgt = pts[bi][vm[bi]] + votes[bi][vm[bi], 0]
+            owner[vm[bi]] = np.argmin(
+                np.sum((tgt[:, None] - centers[None]) ** 2, -1), axis=1
+            )
+        want = candidate_votes(
+            pts[bi], votes[bi, :, 0], vm[bi], owner,
+            centers, sizes, headings, 3,
+        )
+        np.testing.assert_allclose(
+            votes[bi][vm[bi]], want[vm[bi]], atol=1e-5
+        )

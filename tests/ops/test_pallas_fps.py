@@ -89,3 +89,23 @@ def test_fps_kernel_fuzz_sweep_vs_oracle(rng):
             np.testing.assert_array_equal(
                 got[b], want, err_msg=f"trial {trial}"
             )
+
+
+def test_pallas_fps_operand_chunking_path(rng, monkeypatch):
+    """Large-operand batches split into per-group pallas calls (the whole
+    [3,Bp,Np] operand otherwise lands as one scoped-VMEM stack copy —
+    b=32 N=40960 overflowed the 16MB limit by 44K). Forcing the threshold
+    down must give bitwise-identical picks to the unchunked call."""
+    import tpu3dsad.ops.pallas.fps as pf
+
+    B, N, M = 16, 256, 32
+    xyz = rng.uniform(-2, 2, (B, N, 3)).astype(np.float32)
+    ref = np.asarray(fps_pallas(jnp.asarray(xyz), M))
+    monkeypatch.setattr(pf, "_OPERAND_STACK_LIMIT", 1)  # force chunking
+    monkeypatch.setattr(pf, "MAX_KERNEL_N", 256)  # G=8 → nG=2 at B=16
+    pf._fps_call.clear_cache()
+    got = np.asarray(fps_pallas(jnp.asarray(xyz), M))
+    pf._fps_call.clear_cache()
+    np.testing.assert_array_equal(got, ref)
+    for b in range(B):
+        np.testing.assert_array_equal(got[b], fps_oracle(xyz[b], M))

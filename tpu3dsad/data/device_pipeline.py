@@ -216,29 +216,40 @@ def synthetic_detection_batch(
         # lineage GT_VOTE_FACTOR candidates on device (same convention as
         # pipeline.candidate_votes): slots 1..V-1 take OTHER boxes that
         # contain the point under oriented containment, box-index order;
-        # unused slots copy the primary offset
+        # unused slots copy the primary offset. Selection is a cumsum rank
+        # + one-hot einsum — NOT argsort/gather: a [B,N,G] stable sort plus
+        # a [B,N,G,3] take_along_axis cost ~0.7s/step at config-3 scale
+        # (10.7 scenes/s vs 114 — measured, bench_train_throughput.py);
+        # the fused elementwise chain + [B,N,G]x[B,G,3] einsums are ~free.
         V = vote_candidates
-        rel = points[:, :, None, :] - centers[:, None, :, :]  # [B,N,G,3]
-        ch, sh = jnp.cos(headings), jnp.sin(headings)  # [B,G]
-        lx = ch[:, None, :] * rel[..., 0] + sh[:, None, :] * rel[..., 1]
-        ly = -sh[:, None, :] * rel[..., 0] + ch[:, None, :] * rel[..., 1]
-        local = jnp.stack([lx, ly, rel[..., 2]], -1)
-        inside = jnp.all(
-            jnp.abs(local) <= sizes[:, None, :, :] / 2 + 1e-6, -1
+        ch = jnp.cos(headings)[:, None, :]  # [B,1,G]
+        sh = jnp.sin(headings)[:, None, :]
+        rx = points[..., 0:1] - centers[..., 0][:, None, :]  # [B,N,G]
+        ry = points[..., 1:2] - centers[..., 1][:, None, :]
+        lz = points[..., 2:3] - centers[..., 2][:, None, :]
+        lx = ch * rx + sh * ry
+        ly = -sh * rx + ch * ry
+        half = sizes[:, None, :, :] / 2 + 1e-6  # [B,1,G,3]
+        inside = (
+            (jnp.abs(lx) <= half[..., 0])
+            & (jnp.abs(ly) <= half[..., 1])
+            & (jnp.abs(lz) <= half[..., 2])
         )  # [B,N,G]
-        inside = inside & obj_valid[:, None, :]
+        inside = inside & obj_valid[:, None, :] & vote_mask[:, :, None]
         inside = inside & (jnp.arange(G)[None, None, :] != own[:, :, None])
-        order = jnp.argsort(~inside, axis=-1, stable=True)[..., : V - 1]
-        valid_c = jnp.take_along_axis(inside, order, axis=-1)  # [B,N,V-1]
-        cand = jnp.take_along_axis(
-            centers[:, None, :, :], order[..., None], axis=2
-        )  # [B,N,V-1,3]
-        off = cand - points[:, :, None, :]
-        primary = votes[:, :, None, :]
-        tail = jnp.where(valid_c[..., None], off, primary)
-        votes = jnp.concatenate(
-            [primary, tail] + [primary] * (V - 1 - tail.shape[2]), axis=2
-        )
+        # rank of each containing box among this point's OTHER containing
+        # boxes, in box-index order (exclusive count of earlier ones)
+        ins_i = inside.astype(jnp.int32)
+        rank = jnp.cumsum(ins_i, axis=-1) - ins_i
+        slots = [votes[:, :, None, :]]
+        for v in range(V - 1):
+            match = (inside & (rank == v)).astype(points.dtype)  # ≤1 hit
+            hasm = jnp.sum(match, -1, keepdims=True) > 0  # [B,N,1]
+            cand = jnp.einsum("bng,bgc->bnc", match, centers)
+            slots.append(
+                jnp.where(hasm, cand - points, votes)[:, :, None, :]
+            )
+        votes = jnp.concatenate(slots, axis=2)
 
     pad = max_boxes - G
     z3 = jnp.zeros((B, pad, 3))

@@ -77,20 +77,18 @@ def _fps_kernel(xyz_ref, dist0_ref, idx_ref, dist_ref, *, npoint: int, n: int):
     jax.lax.fori_loop(1, npoint, body, jnp.zeros((bp, 1), jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("npoint",))
-def _fps_call(xyz_t, dist0, npoint: int):
-    """Grid over groups of batch rows: only one group's planes are
-    VMEM-resident at a time, so large B doesn't blow the scoped-vmem limit.
-    The group is as large as VMEM allows — grid steps run sequentially on
-    the TensorCore, so fewer groups means fewer sequential loop iterations
-    (every row in a group advances together per pick)."""
+# Mosaic stages the WHOLE [3, Bp, Np] operand as a scoped-VMEM stack copy
+# when its layout needs normalizing (operand_layout_constraints on the
+# custom call), ON TOP of the per-block buffers. Past ~10MB that sum can
+# exceed the 16MB scoped limit (first hit: b=32 N=40960, 15.7MB operand →
+# 16.04M scoped, 44K over). Above this threshold the call is chunked per
+# batch group at the JAX level so each call only stages one group's slice.
+_OPERAND_STACK_LIMIT = 10 * 1024 * 1024
+
+
+def _fps_call_grid(xyz_t, dist0, npoint: int, G: int):
+    """One pallas_call, grid over the nG batch groups."""
     _, Bp, Np = xyz_t.shape
-    G = _SUBLANE
-    budget = _SUBLANE * MAX_KERNEL_N  # elems per [G, Np] plane set
-    for cand in range(Bp, _SUBLANE - 1, -_SUBLANE):
-        if Bp % cand == 0 and cand * Np <= budget:
-            G = cand
-            break
     nG = Bp // G
     kernel = partial(_fps_kernel, npoint=npoint, n=Np)
     out = pl.pallas_call(
@@ -107,6 +105,38 @@ def _fps_call(xyz_t, dist0, npoint: int):
         scratch_shapes=[pltpu.VMEM((G, Np), jnp.float32)],
     )(xyz_t, dist0)
     return out.transpose(0, 2, 1).reshape(Bp, npoint)
+
+
+@partial(jax.jit, static_argnames=("npoint",))
+def _fps_call(xyz_t, dist0, npoint: int):
+    """Grid over groups of batch rows: only one group's planes are
+    VMEM-resident at a time, so large B doesn't blow the scoped-vmem limit.
+    The group is as large as VMEM allows — grid steps run sequentially on
+    the TensorCore, so fewer groups means fewer sequential loop iterations
+    (every row in a group advances together per pick)."""
+    _, Bp, Np = xyz_t.shape
+    G = _SUBLANE
+    budget = _SUBLANE * MAX_KERNEL_N  # elems per [G, Np] plane set
+    for cand in range(Bp, _SUBLANE - 1, -_SUBLANE):
+        if Bp % cand == 0 and cand * Np <= budget:
+            G = cand
+            break
+    nG = Bp // G
+    if nG > 1 and 3 * Bp * Np * 4 > _OPERAND_STACK_LIMIT:
+        # per-group calls: each stages only [3, G, Np] on the scoped stack.
+        # Groups ran sequentially in the grid anyway, so this costs nothing
+        # but the per-call slice. (nG == 1 implies the operand already fits:
+        # G·Np ≤ budget bounds it to ~6.3MB.)
+        outs = [
+            _fps_call_grid(
+                jax.lax.slice_in_dim(xyz_t, g * G, (g + 1) * G, axis=1),
+                jax.lax.slice_in_dim(dist0, g * G, (g + 1) * G, axis=0),
+                npoint, G,
+            )
+            for g in range(nG)
+        ]
+        return jnp.concatenate(outs, axis=0)
+    return _fps_call_grid(xyz_t, dist0, npoint, G)
 
 
 def _fps_kernel_flat(xyz_ref, dist0_ref, idx_ref, dist_ref, *, npoint: int):

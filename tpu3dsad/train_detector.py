@@ -36,6 +36,7 @@ def build_detector(cfg: Config, mean_sizes=None):
 
 
 def run_detector(cfg: Config):
+    train_lib.apply_runtime_config(cfg)
     mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
     if cfg.data.device_augment:
         # host loads CANONICAL scenes; flip/rot/scale runs inside the jitted

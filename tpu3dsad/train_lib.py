@@ -24,6 +24,23 @@ class TrainState(train_state.TrainState):
     batch_stats: Any = None
 
 
+def apply_runtime_config(cfg: Config) -> None:
+    """Apply the process-global knobs a Config carries: ops tier, fast
+    grouping, matmul precision. Called by the CLIs AND by run_detector/
+    run_classifier/evaluate so library callers (benches, notebooks) get the
+    configured tiers too — bypassing this silently ran the 11x-slower XLA
+    FPS/grouping tier in a throughput harness (round-3 session note).
+    Idempotent. cfg.ops_impl='xla' (the dataclass default) does not
+    override a TPU3DSAD_OPS_IMPL env default."""
+    from tpu3dsad import ops
+
+    if cfg.ops_impl != "xla":
+        ops.set_default_impl(cfg.ops_impl)
+    ops.set_fast_grouping(cfg.ops_fast_grouping)
+    if not cfg.train.bf16_matmul:
+        jax.config.update("jax_default_matmul_precision", "highest")
+
+
 def lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
     """Lineage-style step decay: lr * rate_i after epoch boundary i."""
     boundaries = {
@@ -164,6 +181,7 @@ def _make_detector_step_body(model, cfg: Config,
         loss, metrics = detection_loss(
             end_points, batch, mean_sizes, nh, bank,
             near=cfg.model.assign_near, far=cfg.model.assign_far,
+            center_norm=cfg.model.center_loss_norm,
         )
         return loss, (updates["batch_stats"], metrics)
 
@@ -191,6 +209,7 @@ def _make_detector_step_body(model, cfg: Config,
         loss, metrics = detection_loss(
             end_points, batch, mean_sizes, nh, bank,
             near=cfg.model.assign_near, far=cfg.model.assign_far,
+            center_norm=cfg.model.center_loss_norm,
         )
         return end_points, metrics
 

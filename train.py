@@ -23,13 +23,9 @@ from tpu3dsad.config import parse_cli, describe
 def main(argv):
     cfg = parse_cli(argv)
     print(describe(cfg), file=sys.stderr)
-    from tpu3dsad import ops
+    from tpu3dsad import train_lib as _tl
 
-    if cfg.ops_impl != "xla":
-        ops.set_default_impl(cfg.ops_impl)
-    ops.set_fast_grouping(cfg.ops_fast_grouping)
-    if not cfg.train.bf16_matmul:
-        jax.config.update("jax_default_matmul_precision", "highest")
+    _tl.apply_runtime_config(cfg)
 
     if cfg.model.name == "classifier":
         run_classifier(cfg)
@@ -48,6 +44,7 @@ def run_classifier(cfg):
     from tpu3dsad.data.synthetic import classification_batch
     from tpu3dsad.parallel import make_mesh, shard_batch
 
+    train_lib.apply_runtime_config(cfg)
     mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
     rng_np = np.random.default_rng(cfg.train.seed)
     if cfg.data.name == "modelnet":
