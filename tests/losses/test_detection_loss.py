@@ -231,3 +231,24 @@ def test_assign_thresholds_configurable(rng):
     _, m_o = losses.detection_loss(ep2, batch, MS, NH, (0.15, 0.3, 0.6),
                                    near=2.0, far=4.0)
     assert float(m_o["pos_ratio"]) > float(m_i["pos_ratio"])
+
+
+def test_center_loss_norm(rng):
+    """model.center_loss_norm rescales the chamfer unit: norm=1 is the
+    lineage recipe BITWISE; norm=c divides the squared chamfer by c²
+    (outdoor configs keep car-scale distances at the indoor magnitude)."""
+    ep, batch = _scene(rng)
+    ep2 = dict(ep)
+    ep2["center"] = ep["center"] + 0.7  # nonzero chamfer
+    _, m1 = losses.detection_loss(ep2, batch, MS, NH, (0.15, 0.3, 0.6))
+    _, m1b = losses.detection_loss(ep2, batch, MS, NH, (0.15, 0.3, 0.6),
+                                   center_norm=1.0)
+    assert float(m1["center_loss"]) == float(m1b["center_loss"])  # bitwise
+    _, m2 = losses.detection_loss(ep2, batch, MS, NH, (0.15, 0.3, 0.6),
+                                  center_norm=2.0)
+    np.testing.assert_allclose(
+        float(m2["center_loss"]), float(m1["center_loss"]) / 4.0, rtol=1e-6
+    )
+    # only the center term (and the totals built from it) moves
+    assert float(m2["vote_loss"]) == float(m1["vote_loss"])
+    assert float(m2["objectness_loss"]) == float(m1["objectness_loss"])

@@ -48,6 +48,10 @@ class ModelConfig:
     # size or no proposal ever becomes positive)
     assign_near: float = 0.3
     assign_far: float = 0.6
+    # center-chamfer distance unit in meters (losses.center_loss): d²/norm².
+    # 1.0 = the lineage indoor recipe (bit-identical). Outdoor configs set
+    # ≈ assign_near so car-scale distances don't dominate the loss balance
+    center_loss_norm: float = 1.0
     # lineage use_height: append the z-above-floor channel (computed
     # IN-MODEL from the scene floor — models/detector.py)
     append_height: bool = True

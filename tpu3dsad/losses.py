@@ -109,16 +109,25 @@ def objectness_loss(end_points, pos, neg):
     return jnp.sum(ce * w) / jnp.maximum(jnp.sum(sup), 1.0)
 
 
-def center_loss(end_points, batch, pos):
+def center_loss(end_points, batch, pos, norm: float = 1.0):
     """Chamfer: pred→nearest GT (positives) + GT→nearest pred.
 
     Lineage compute_center_loss uses nn_distance's default SQUARED l2 in
     both directions (no huber — huber-of-sqrt was a deviation that pulled
-    far-off centers ~2.7× weaker than the lineage recipe)."""
+    far-off centers ~2.7× weaker than the lineage recipe).
+
+    `norm` (model.center_loss_norm) measures the squared distances in units
+    of `norm` meters: d²/norm². The lineage's indoor recipe is norm=1
+    (bit-identical — the division is skipped); outdoor configs set norm ≈
+    assign_near so the chamfer magnitude (and its 2d/norm² gradient) stays
+    at the indoor scale instead of exploding quadratically with car-scale
+    distances (VERDICT r2 next #2)."""
     pred = end_points["center"]  # [B,P,3]
     gt = batch["gt_centers"]  # [B,G,3]
     BIG = 1e12  # finite sentinel: inf would NaN the masked means (inf * 0)
     d2 = pairwise_sqdist(pred, gt)  # [B,P,G]
+    if norm != 1.0:
+        d2 = d2 / (norm * norm)
     d2 = jnp.where(batch["gt_mask"][:, None, :], d2, BIG)
     p2g = jnp.min(d2, axis=-1)
     fwd = _masked_mean(p2g * (p2g < BIG), pos)
@@ -193,7 +202,8 @@ def scale_selection_loss(end_points, pos, gt_size, radius_bank):
 
 
 def detection_loss(end_points, batch, mean_sizes, num_heading_bins,
-                   radius_bank, near=NEAR_THRESHOLD, far=FAR_THRESHOLD):
+                   radius_bank, near=NEAR_THRESHOLD, far=FAR_THRESHOLD,
+                   center_norm: float = 1.0):
     """Total loss (lineage weighting, SURVEY.md §2.2) + metrics dict.
 
     An optional batch["scene_mask"] [B] (val tail-batch padding from
@@ -210,7 +220,7 @@ def detection_loss(end_points, batch, mean_sizes, num_heading_bins,
     pos, neg, nearest = assign_proposals(end_points, batch, near=near,
                                          far=far)
     o_loss = objectness_loss(end_points, pos, neg)
-    c_loss = center_loss(end_points, batch, pos)
+    c_loss = center_loss(end_points, batch, pos, norm=center_norm)
     h_cls, h_reg, s_cls, s_reg, sem, gt_size = box_and_sem_loss(
         end_points, batch, pos, nearest, mean_sizes, num_heading_bins
     )
