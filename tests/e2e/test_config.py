@@ -94,3 +94,22 @@ def test_str_tuple_rejects_non_string_literal():
     # quoted names parse as literals and stay strings
     cfg = apply_overrides(Config(), ["train.mesh_axes=('data','points')"])
     assert cfg.train.mesh_axes == ("data", "points")
+
+
+def test_presets_expand_and_user_overrides_win():
+    from tpu3dsad.config import parse_cli
+    from tpu3dsad.presets import PRESETS, expand
+
+    cfg = parse_cli(["preset=outdoor"])
+    assert cfg.data.name == "kitti"
+    assert cfg.model.num_classes == 3
+    assert cfg.model.center_loss_norm == cfg.model.assign_near == 1.5
+    # user overrides AFTER the preset win
+    cfg2 = parse_cli(["preset=outdoor", "train.lr=0.0005",
+                      "model.assign_near=2.0"])
+    assert cfg2.train.lr == 0.0005 and cfg2.model.assign_near == 2.0
+    # every preset parses cleanly against the dataclasses
+    for name in PRESETS:
+        parse_cli([f"preset={name}"])
+    with pytest.raises(ValueError, match="unknown preset"):
+        expand(["preset=nope"])

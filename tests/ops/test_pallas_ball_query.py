@@ -199,3 +199,21 @@ def test_awkward_shapes_with_mask(rng):
     oi, oc = ball_query_oracle(x, centers[0], 0.6, 16)
     np.testing.assert_array_equal(np.asarray(pi)[0], oi)
     np.testing.assert_array_equal(np.asarray(pc)[0], oc)
+
+
+def test_kernel_dense_first_tile_full_q_range(rng):
+    """Dense tiles where the first point-tile alone spans ranks 0..K-1
+    (every q-slice active — the pre-saturation worst case, kernel_notes r3
+    write-off): picks stay exact vs the oracle."""
+    from tpu3dsad.ops.oracle import ball_query_oracle
+    from tpu3dsad.ops.pallas.ball_query import ball_query
+
+    B, N, M, K, r = 2, 512, 64, 64, 1.5
+    xyz = rng.uniform(-1, 1, (B, N, 3)).astype(np.float32)
+    centers = xyz[:, :M].copy()
+    idx, cnt = ball_query(jnp.asarray(xyz), jnp.asarray(centers), r, K,
+                          interpret=True)
+    for b in range(B):
+        ei, ec = ball_query_oracle(xyz[b], centers[b], r, K)
+        np.testing.assert_array_equal(np.asarray(idx[b]), ei)
+        np.testing.assert_array_equal(np.asarray(cnt[b]), ec)

@@ -253,7 +253,9 @@ def _set_path(obj, path, val):
 
 
 def parse_cli(argv: list[str]) -> Config:
-    return apply_overrides(Config(), [a for a in argv if "=" in a])
+    from tpu3dsad.presets import expand
+
+    return apply_overrides(Config(), expand([a for a in argv if "=" in a]))
 
 
 def describe(cfg: Config) -> str:
