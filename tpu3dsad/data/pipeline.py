@@ -61,20 +61,37 @@ def candidate_votes(points, votes, vmask, owner, centers, sizes, headings,
     if V <= 1 or not len(centers) or not vmask.any():
         return out
     vp = np.nonzero(vmask)[0]
-    rel = points[vp][:, None, :] - centers[None, :, :]  # [n,G,3]
-    ch, sh = np.cos(headings), np.sin(headings)
-    lx = ch[None, :] * rel[..., 0] + sh[None, :] * rel[..., 1]
-    ly = -sh[None, :] * rel[..., 0] + ch[None, :] * rel[..., 1]
-    local = np.stack([lx, ly, rel[..., 2]], -1)
-    inside = np.all(np.abs(local) <= sizes[None] / 2 + 1e-6, -1)  # [n,G]
+    # separate [n,G] planes, no [n,G,3] stack: the stacked form cost
+    # ~9ms/scene at 8k pts and host-bound the 18-class recipe at ~52
+    # scenes/s (half the r2 feed rate); this form is ~3x cheaper
+    p = points[vp]
+    rx = p[:, 0:1] - centers[None, :, 0]  # [n,G]
+    ry = p[:, 1:2] - centers[None, :, 1]
+    rz = p[:, 2:3] - centers[None, :, 2]
+    ch, sh = np.cos(headings)[None, :], np.sin(headings)[None, :]
+    half = sizes / 2 + 1e-6
+    inside = (
+        (np.abs(ch * rx + sh * ry) <= half[None, :, 0])
+        & (np.abs(-sh * rx + ch * ry) <= half[None, :, 1])
+        & (np.abs(rz) <= half[None, :, 2])
+    )  # [n,G]
     inside[np.arange(len(vp)), owner[vp]] = False  # never repeat the owner
+    # slot work only for the (few) points actually inside ANOTHER box —
+    # the argsort/fancy-index over all voting points was pure overhead
+    rows = np.nonzero(inside.any(axis=1))[0]
+    if not len(rows):
+        return out
+    ins = inside[rows]
     # first V-1 remaining containing boxes, box-index order (fewer boxes
     # than slots leaves the tail at the primary copy from np.repeat)
-    order = np.argsort(~inside, axis=1, kind="stable")[:, : V - 1]
+    order = np.argsort(~ins, axis=1, kind="stable")[:, : V - 1]
     kslots = order.shape[1]
-    valid_c = np.take_along_axis(inside, order, axis=1)
-    off = centers[order] - points[vp][:, None, :]  # [n,k,3]
-    out[vp, 1 : 1 + kslots] = np.where(valid_c[..., None], off, out[vp, :1])
+    valid_c = np.take_along_axis(ins, order, axis=1)
+    off = centers[order] - p[rows][:, None, :]  # [r,k,3]
+    sel = vp[rows]
+    out[sel, 1 : 1 + kslots] = np.where(
+        valid_c[..., None], off, out[sel, :1]
+    )
     return out
 
 
