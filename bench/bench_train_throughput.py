@@ -22,13 +22,18 @@ from tpu3dsad.config import Config, apply_overrides
 from tpu3dsad.train_detector import run_detector
 
 SWEEP = [
-    # (num_points, batch, k) — config-#3 scale (40960) and config-#5 (20480)
+    # (num_points, batch, k) — config-#3 scale (40960), config-#5 (20480),
+    # and the 8192-pt recipe scale where the per-call dispatch share is
+    # largest (shortest device step)
     (40960, 8, 1),
     (40960, 8, 16),
     (40960, 32, 8),
     (20480, 32, 1),
     (20480, 32, 8),
     (20480, 32, 16),
+    (8192, 8, 1),
+    (8192, 8, 8),
+    (8192, 8, 16),
 ]
 
 

@@ -40,3 +40,22 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _isolate_runtime_config():
+    """apply_runtime_config (called by run_detector/evaluate/CLIs) sets
+    process-global knobs — ops tier, fast grouping, matmul precision. An
+    e2e test running it must not leak those into later tests (caught live:
+    the alphabetically-later ops/test_fast_grouping global-switch test saw
+    e2e's fast_grouping=True default)."""
+    from tpu3dsad import ops
+
+    impl = ops.get_default_impl()
+    fast = ops.get_fast_grouping()
+    prec = jax.config.jax_default_matmul_precision
+    yield
+    ops.set_default_impl(impl)
+    ops.set_fast_grouping(fast)
+    if jax.config.jax_default_matmul_precision != prec:
+        jax.config.update("jax_default_matmul_precision", prec)
