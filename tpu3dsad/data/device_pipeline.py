@@ -117,6 +117,85 @@ def augment_batch(
     return out
 
 
+def expand_votes(points, owner, gt_centers, gt_sizes, gt_headings,
+                 gt_valid, vote_candidates: int):
+    """Vote targets from per-point primary owners, on device.
+
+    points [B,N,3]; owner [B,N] int (index into the padded GT arrays, <0
+    for non-voting points); gt_* [B,G,...]; gt_valid [B,G] bool. Returns
+    (vote_targets [B,N,3] or [B,N,V,3] when vote_candidates>1, vote_mask
+    [B,N]). Semantics == the host path (scannet.py vote construction +
+    pipeline.candidate_votes): slot 0 is the primary owner's center
+    offset; slots 1..V-1 take OTHER valid boxes containing the point
+    under oriented containment, box-index order, unused slots copying the
+    primary. This is the compact-votes wire format's decoder
+    (data.compact_votes) and the device_synth target builder.
+
+    Selection is a cumsum rank + one-hot einsum — NOT argsort/gather: a
+    [B,N,G] stable sort plus a [B,N,G,3] take_along_axis cost ~0.7s/step
+    at config-3 scale (10.7 scenes/s vs 114 — measured,
+    bench_train_throughput.py); the fused elementwise chain +
+    [B,N,G]x[B,G,3] einsums are ~free.
+    """
+    owner = owner.astype(jnp.int32)
+    centers, sizes, headings = gt_centers, gt_sizes, gt_headings
+    G = centers.shape[1]
+    vote_mask = owner >= 0
+    own = jnp.maximum(owner, 0)
+    votes = jnp.where(
+        vote_mask[..., None],
+        jnp.take_along_axis(centers, own[..., None], axis=1) - points,
+        0.0,
+    )
+    if vote_candidates > 1:
+        V = vote_candidates
+        ch = jnp.cos(headings)[:, None, :]  # [B,1,G]
+        sh = jnp.sin(headings)[:, None, :]
+        rx = points[..., 0:1] - centers[..., 0][:, None, :]  # [B,N,G]
+        ry = points[..., 1:2] - centers[..., 1][:, None, :]
+        lz = points[..., 2:3] - centers[..., 2][:, None, :]
+        lx = ch * rx + sh * ry
+        ly = -sh * rx + ch * ry
+        half = sizes[:, None, :, :] / 2 + 1e-6  # [B,1,G,3]
+        inside = (
+            (jnp.abs(lx) <= half[..., 0])
+            & (jnp.abs(ly) <= half[..., 1])
+            & (jnp.abs(lz) <= half[..., 2])
+        )  # [B,N,G]
+        inside = inside & gt_valid[:, None, :] & vote_mask[:, :, None]
+        inside = inside & (jnp.arange(G)[None, None, :] != own[:, :, None])
+        # rank of each containing box among this point's OTHER containing
+        # boxes, in box-index order (exclusive count of earlier ones)
+        ins_i = inside.astype(jnp.int32)
+        rank = jnp.cumsum(ins_i, axis=-1) - ins_i
+        slots = [votes[:, :, None, :]]
+        for v in range(V - 1):
+            match = (inside & (rank == v)).astype(points.dtype)  # ≤1 hit
+            hasm = jnp.sum(match, -1, keepdims=True) > 0  # [B,N,1]
+            cand = jnp.einsum("bng,bgc->bnc", match, centers)
+            slots.append(
+                jnp.where(hasm, cand - points, votes)[:, :, None, :]
+            )
+        votes = jnp.concatenate(slots, axis=2)
+    return votes.astype(jnp.float32), vote_mask
+
+
+def decode_compact_votes(batch: dict, vote_candidates: int) -> dict:
+    """Replace a batch's `vote_owner` (the compact-votes wire format —
+    int8 per point instead of [N,V,3] float32 targets, ~4x fewer feed
+    bytes at V=3) with reconstructed `vote_targets`/`vote_mask`. No-op
+    for batches already carrying expanded targets."""
+    if "vote_owner" not in batch:
+        return batch
+    out = dict(batch)
+    owner = out.pop("vote_owner")
+    out["vote_targets"], out["vote_mask"] = expand_votes(
+        out["points"], owner, out["gt_centers"], out["gt_sizes"],
+        out["gt_headings"], out["gt_mask"], vote_candidates,
+    )
+    return out
+
+
 @partial(
     jax.jit,
     static_argnames=("batch_size", "num_points", "num_classes", "max_boxes",
@@ -205,51 +284,9 @@ def synthetic_detection_batch(
         1,
     )  # [B,N]
 
-    vote_mask = owner >= 0
-    own = jnp.maximum(owner, 0)
-    votes = jnp.where(
-        vote_mask[..., None],
-        jnp.take_along_axis(centers, own[..., None], axis=1) - points,
-        0.0,
+    votes, vote_mask = expand_votes(
+        points, owner, centers, sizes, headings, obj_valid, vote_candidates
     )
-    if vote_candidates > 1:
-        # lineage GT_VOTE_FACTOR candidates on device (same convention as
-        # pipeline.candidate_votes): slots 1..V-1 take OTHER boxes that
-        # contain the point under oriented containment, box-index order;
-        # unused slots copy the primary offset. Selection is a cumsum rank
-        # + one-hot einsum — NOT argsort/gather: a [B,N,G] stable sort plus
-        # a [B,N,G,3] take_along_axis cost ~0.7s/step at config-3 scale
-        # (10.7 scenes/s vs 114 — measured, bench_train_throughput.py);
-        # the fused elementwise chain + [B,N,G]x[B,G,3] einsums are ~free.
-        V = vote_candidates
-        ch = jnp.cos(headings)[:, None, :]  # [B,1,G]
-        sh = jnp.sin(headings)[:, None, :]
-        rx = points[..., 0:1] - centers[..., 0][:, None, :]  # [B,N,G]
-        ry = points[..., 1:2] - centers[..., 1][:, None, :]
-        lz = points[..., 2:3] - centers[..., 2][:, None, :]
-        lx = ch * rx + sh * ry
-        ly = -sh * rx + ch * ry
-        half = sizes[:, None, :, :] / 2 + 1e-6  # [B,1,G,3]
-        inside = (
-            (jnp.abs(lx) <= half[..., 0])
-            & (jnp.abs(ly) <= half[..., 1])
-            & (jnp.abs(lz) <= half[..., 2])
-        )  # [B,N,G]
-        inside = inside & obj_valid[:, None, :] & vote_mask[:, :, None]
-        inside = inside & (jnp.arange(G)[None, None, :] != own[:, :, None])
-        # rank of each containing box among this point's OTHER containing
-        # boxes, in box-index order (exclusive count of earlier ones)
-        ins_i = inside.astype(jnp.int32)
-        rank = jnp.cumsum(ins_i, axis=-1) - ins_i
-        slots = [votes[:, :, None, :]]
-        for v in range(V - 1):
-            match = (inside & (rank == v)).astype(points.dtype)  # ≤1 hit
-            hasm = jnp.sum(match, -1, keepdims=True) > 0  # [B,N,1]
-            cand = jnp.einsum("bng,bgc->bnc", match, centers)
-            slots.append(
-                jnp.where(hasm, cand - points, votes)[:, :, None, :]
-            )
-        votes = jnp.concatenate(slots, axis=2)
 
     pad = max_boxes - G
     z3 = jnp.zeros((B, pad, 3))

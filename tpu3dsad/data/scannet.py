@@ -142,7 +142,7 @@ class ScanNetDetectionDataset:
                 votes[pt_idx] = centers[b] - points[pt_idx]
                 vmask[pt_idx] = True
                 owner[pt_idx] = b
-        if V > 1:
+        if V > 1 and not self.cfg.data.compact_votes:
             # lineage GT_VOTE_FACTOR>1: a voting point inside several GT
             # boxes carries each box center as a candidate; the shared
             # oriented-containment expansion (pipeline.candidate_votes)
@@ -159,12 +159,28 @@ class ScanNetDetectionDataset:
         h, _ = pad_boxes(headings, max_boxes)
         k, _ = pad_boxes(classes, max_boxes)
         out_extra = {} if colors is None else {"point_features": colors}
+        if self.cfg.data.compact_votes:
+            # compact wire format: ship the primary owner index only; the
+            # jitted step reconstructs vote_targets/vote_mask on device
+            # (device_pipeline.decode_compact_votes, semantics pinned ==
+            # this loader's expanded path by test_compact_votes.py)
+            if max_boxes > 127:
+                raise ValueError(
+                    "data.compact_votes packs owners as int8 — "
+                    f"data.max_boxes={max_boxes} exceeds 127"
+                )
+            # owners of boxes dropped by pad_boxes truncation can't be
+            # represented (the expanded path keeps such votes aimed at the
+            # off-roster center); mask those points out of vote supervision
+            owner = np.where(owner >= max_boxes, -1, owner)
+            vote_fields = {"vote_owner": owner.astype(np.int8)}
+        else:
+            vote_fields = {"vote_targets": votes, "vote_mask": vmask}
         return {
             **out_extra,
             "points": points,
             "point_mask": np.ones(n_budget, bool),
-            "vote_targets": votes,
-            "vote_mask": vmask,
+            **vote_fields,
             "gt_centers": c,
             "gt_sizes": s,
             "gt_headings": h,

@@ -154,6 +154,7 @@ def _make_detector_step_body(model, cfg: Config,
     """The un-jitted single-step body (state, batch, rng, bn_momentum) ->
     (state, metrics), shared by the jitted per-step path and the scanned
     k-steps-per-dispatch block (make_detector_train_block)."""
+    from tpu3dsad.data.device_pipeline import decode_compact_votes
     from tpu3dsad.losses import detection_loss
 
     mean_sizes = model._mean_sizes()
@@ -186,6 +187,9 @@ def _make_detector_step_body(model, cfg: Config,
         return loss, (updates["batch_stats"], metrics)
 
     def step_body(state: TrainState, batch, rng, bn_momentum):
+        # compact-votes feeds (data.compact_votes) ship int8 owners; build
+        # the float targets on device before anything consumes them
+        batch = decode_compact_votes(batch, cfg.data.vote_candidates)
         if device_aug:  # flip/rot/scale on device (data.device_augment)
             from tpu3dsad.data.device_pipeline import augment_batch
 
@@ -199,6 +203,7 @@ def _make_detector_step_body(model, cfg: Config,
 
     @jax.jit
     def eval_step(state: TrainState, batch):
+        batch = decode_compact_votes(batch, cfg.data.vote_candidates)
         end_points = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["points"],
