@@ -34,6 +34,11 @@ SWEEP = [
     (8192, 8, 1),
     (8192, 8, 8),
     (8192, 8, 16),
+    # large-batch rows: the FPS pick loop (the step floor) is shared
+    # across all rows of a batch group, so per-scene pick cost drops
+    # ~2.5x from b=8 to b=32 (kernel_notes per-pick table)
+    (8192, 32, 8),
+    (8192, 32, 16),
 ]
 
 
