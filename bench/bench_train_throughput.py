@@ -34,9 +34,12 @@ SWEEP = [
     (8192, 8, 1),
     (8192, 8, 8),
     (8192, 8, 16),
-    # large-batch rows: the FPS pick loop (the step floor) is shared
-    # across all rows of a batch group, so per-scene pick cost drops
-    # ~2.5x from b=8 to b=32 (kernel_notes per-pick table)
+    # large-batch rows: the FPS pick loop is shared across all rows of a
+    # batch group (per-scene pick cost drops ~6x from b=8 to b=32), but
+    # measured throughput is WORSE (113 vs 136 scenes/s): the O(B·M·N)
+    # grouping selector + grouped-MLP/bwd work scales linearly with B and
+    # becomes the binder once FPS amortizes. b=8 stays the best per-scene
+    # config at 8192 pts.
     (8192, 32, 8),
     (8192, 32, 16),
 ]

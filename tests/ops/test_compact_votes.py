@@ -81,6 +81,90 @@ def test_decode_noop_on_expanded_batch(scannet_root):
     assert decode_compact_votes(j, 3) is j
 
 
+def _write_oriented_scenes(root, overlap, split="train", scenes=3, n=800,
+                           cols=6, nc=10):
+    """Oriented-contract scenes. overlap=True exercises V>1 candidate
+    slots (SUN RGB-D); overlap=False honors the KITTI non-overlap
+    annotation convention (the kitti host path never expands candidates,
+    so decode parity only holds for convention-respecting data)."""
+    d = root / split
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    first = [12.0, 0.0, 0.5, 8.0, 8.0, 3.0, 0.3, 1 % nc]
+    second = (
+        [14.0, 1.0, 0.5, 8.0, 8.0, 3.0, -0.5, 0]  # broad overlap with #0
+        if overlap
+        else [28.0, -2.0, 0.4, 2.5, 2.5, 1.2, -0.5, 0]
+    )
+    for i in range(scenes):
+        pc = rng.uniform(-5, 5, (n, cols)).astype(np.float32)
+        pc[:, 0] = np.abs(pc[:, 0]) * 5
+        bbox = np.array(
+            [first, second, [35.0, 2.0, 0.2, 2.0, 1.2, 0.8, 0.9, 2 % nc]],
+            np.float32,
+        )
+        np.save(d / f"{i:06d}_pc.npy", pc)
+        np.save(d / f"{i:06d}_bbox.npy", bbox)
+
+
+@pytest.mark.parametrize("name,cols,overlap,extra", [
+    ("sunrgbd", 6, True, ()),
+    ("kitti", 4, False, ("data.num_points=512", "data.augment=false")),
+])
+def test_decode_matches_host_expansion_oriented(tmp_path, name, cols,
+                                                overlap, extra):
+    """The compact wire format on the oriented-box loaders (native vote
+    targets + exact owner recovery) decodes bitwise to the expanded path."""
+    _write_oriented_scenes(tmp_path, overlap, cols=cols)
+
+    def cfg(compact):
+        return apply_overrides(
+            Config(),
+            [f"data.name={name}", f"data.root={tmp_path}",
+             "data.num_points=256", "data.max_boxes=8",
+             "data.vote_candidates=3",
+             f"data.compact_votes={'true' if compact else 'false'}", *extra],
+        )
+
+    exp = get_dataset(cfg(False)).train_batch(np.random.default_rng(0), 2)
+    cmp = get_dataset(cfg(True)).train_batch(np.random.default_rng(0), 2)
+    assert cmp["vote_owner"].dtype == np.int8
+    dec = decode_compact_votes(
+        {k: jnp.asarray(v) for k, v in cmp.items()}, vote_candidates=3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["vote_mask"]), exp["vote_mask"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["vote_targets"]), exp["vote_targets"]
+    )
+    assert exp["vote_mask"].any()
+    if overlap:  # the overlap fixture must actually exercise slot-1
+        v = exp["vote_targets"]
+        distinct = np.abs(v[..., 1, :] - v[..., 0, :]).max(-1) > 0
+        assert distinct.sum() > 0, "no multi-candidate points generated"
+
+
+def test_sunrgbd_verbatim_votes_reject_compact(tmp_path):
+    from tests.e2e.test_datasets import _write_oriented
+
+    _write_oriented(tmp_path)
+    d = tmp_path / "train"
+    pre = np.zeros((800, 4), np.float32)
+    pre[:, 0] = 1.0
+    for i in range(3):  # every scene, so any batch pick hits one
+        np.save(d / f"{i:06d}_votes.npy", pre)
+    cfg = apply_overrides(
+        Config(),
+        ["data.name=sunrgbd", f"data.root={tmp_path}", "data.num_points=256",
+         "data.max_boxes=8", "data.compact_votes=true",
+         "data.augment=false"],
+    )
+    ds = get_dataset(cfg)
+    with pytest.raises(ValueError, match="verbatim"):
+        ds.train_batch(np.random.default_rng(0), 2)
+
+
 def test_train_step_identical_under_both_formats(scannet_root):
     """One jitted detector train step: compact feed == expanded feed,
     bitwise in every metric and in the updated params."""

@@ -175,13 +175,24 @@ class KittiDetectionDataset:
             )
             votes[:n], vmask[:n] = native.vote_targets(points[:n], boxes8)
         V = max(1, self.cfg.data.vote_candidates)
-        if V > 1:
-            # outdoor boxes never overlap (KITTI annotation convention), so
-            # every candidate slot is a copy of the single owner — shape
-            # parity with the indoor loaders' [N,V,3], no extra semantics
-            votes = np.repeat(votes[:, None, :], V, axis=1)
-
         max_boxes = self.cfg.data.max_boxes
+        if self.cfg.data.compact_votes:
+            # int8 owners, targets decoded on device (exact recovery —
+            # native votes aim at centers; see sunrgbd.py note). Non-
+            # overlapping outdoor boxes make the V>1 device expansion
+            # reproduce the primary-copy slots below for free.
+            from tpu3dsad.data.pipeline import compact_owner, recover_owner
+
+            owner = recover_owner(points, votes, vmask, centers)
+            vote_fields = {"vote_owner": compact_owner(owner, max_boxes)}
+        else:
+            if V > 1:
+                # outdoor boxes never overlap (KITTI annotation
+                # convention), so every candidate slot is a copy of the
+                # single owner — shape parity with the indoor loaders'
+                # [N,V,3], no extra semantics
+                votes = np.repeat(votes[:, None, :], V, axis=1)
+            vote_fields = {"vote_targets": votes, "vote_mask": vmask}
         c, bm = pad_boxes(centers, max_boxes)
         s, _ = pad_boxes(sizes, max_boxes)
         h, _ = pad_boxes(headings, max_boxes)
@@ -189,8 +200,7 @@ class KittiDetectionDataset:
         return {
             "points": points,
             "point_mask": pmask,
-            "vote_targets": votes,
-            "vote_mask": vmask,
+            **vote_fields,
             "gt_centers": c,
             "gt_sizes": s,
             "gt_headings": h,

@@ -95,6 +95,36 @@ def candidate_votes(points, votes, vmask, owner, centers, sizes, headings,
     return out
 
 
+def recover_owner(points, votes, vmask, centers):
+    """Primary owner per point from single-owner votes: the box whose
+    center the vote points at (EXACT for votes our loaders/native code
+    produce — they always aim at a center; approximate only for arbitrary
+    file offsets, whose loaders must not use it). Returns [N] int64, -1
+    for non-voting points."""
+    owner = np.full(len(points), -1, np.int64)
+    if vmask.any() and len(centers):
+        tgt = points[vmask] + votes[vmask]
+        owner[vmask] = np.argmin(
+            np.sum((tgt[:, None, :] - centers[None]) ** 2, -1), axis=1
+        )
+    return owner
+
+
+def compact_owner(owner, max_boxes: int) -> np.ndarray:
+    """Validate + pack a primary-owner vector into the int8 compact-votes
+    wire field (data.compact_votes; decoded on device by
+    device_pipeline.decode_compact_votes)."""
+    if max_boxes > 127:
+        raise ValueError(
+            "data.compact_votes packs owners as int8 — "
+            f"data.max_boxes={max_boxes} exceeds 127"
+        )
+    # owners of boxes dropped by pad_boxes truncation can't be represented
+    # (the expanded path keeps such votes aimed at the off-roster center);
+    # mask those points out of vote supervision instead
+    return np.where(owner >= max_boxes, -1, owner).astype(np.int8)
+
+
 def scene_to_training_dict(points, spec, owner, max_boxes: int,
                            vote_candidates: int = 1):
     """Build the padded training example for one detection scene.

@@ -164,16 +164,9 @@ class ScanNetDetectionDataset:
             # jitted step reconstructs vote_targets/vote_mask on device
             # (device_pipeline.decode_compact_votes, semantics pinned ==
             # this loader's expanded path by test_compact_votes.py)
-            if max_boxes > 127:
-                raise ValueError(
-                    "data.compact_votes packs owners as int8 — "
-                    f"data.max_boxes={max_boxes} exceeds 127"
-                )
-            # owners of boxes dropped by pad_boxes truncation can't be
-            # represented (the expanded path keeps such votes aimed at the
-            # off-roster center); mask those points out of vote supervision
-            owner = np.where(owner >= max_boxes, -1, owner)
-            vote_fields = {"vote_owner": owner.astype(np.int8)}
+            from tpu3dsad.data.pipeline import compact_owner
+
+            vote_fields = {"vote_owner": compact_owner(owner, max_boxes)}
         else:
             vote_fields = {"vote_targets": votes, "vote_mask": vmask}
         return {

@@ -114,9 +114,16 @@ class SunRGBDDetectionDataset:
             )
 
         V = max(1, self.cfg.data.vote_candidates)
+        compact = self.cfg.data.compact_votes
         votes = np.zeros((n_budget, 3), np.float32)
         vmask = np.zeros(n_budget, bool)
         votes_file = os.path.join(d, f"{idx}_votes.npy")
+        if compact and os.path.exists(votes_file):
+            raise ValueError(
+                "data.compact_votes cannot represent the verbatim offsets "
+                f"of {votes_file} (owners are only exact for votes aimed at "
+                "box centers) — use expanded votes for this dataset"
+            )
         if (not (augment and self.cfg.data.augment)) and os.path.exists(votes_file):
             # [N,4] (mask, dxyz) or the lineage 10-col layout (mask + the
             # GT_VOTE_FACTOR=3 candidate offsets of sunrgbd_data.py)
@@ -143,11 +150,12 @@ class SunRGBDDetectionDataset:
                  classes[:, None].astype(np.float32)], axis=1
             )
             votes, vmask = native.vote_targets(points, boxes8)
-            if V > 1:
+            if V > 1 and not compact:
                 votes = self._expand_candidates(
                     points, votes, vmask, centers, sizes, headings, V
                 )
-        elif V > 1:  # boxless scene: keep the [N,V,3] shape batch-stackable
+        elif V > 1 and not compact:
+            # boxless scene: keep the [N,V,3] shape batch-stackable
             votes = np.repeat(votes[:, None, :], V, axis=1)
 
         max_boxes = self.cfg.data.max_boxes
@@ -156,12 +164,23 @@ class SunRGBDDetectionDataset:
         h, _ = pad_boxes(headings, max_boxes)
         k, _ = pad_boxes(classes, max_boxes)
         out_extra = {} if colors is None else {"point_features": colors}
+        if compact:
+            # compact-votes wire format: int8 owners, targets decoded on
+            # device (device_pipeline.decode_compact_votes). Recovery is
+            # exact here — native.vote_targets aims every vote at the
+            # owner's center (last containing box; the recovered
+            # nearest-center IS that box, distance 0).
+            from tpu3dsad.data.pipeline import compact_owner, recover_owner
+
+            owner = recover_owner(points, votes, vmask, centers)
+            vote_fields = {"vote_owner": compact_owner(owner, max_boxes)}
+        else:
+            vote_fields = {"vote_targets": votes, "vote_mask": vmask}
         return {
             **out_extra,
             "points": points,
             "point_mask": np.ones(n_budget, bool),
-            "vote_targets": votes,
-            "vote_mask": vmask,
+            **vote_fields,
             "gt_centers": c,
             "gt_sizes": s,
             "gt_headings": h,
