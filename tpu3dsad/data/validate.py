@@ -143,9 +143,13 @@ def validate_sunrgbd_scene(rep: Report, d: str, idx: str):
     if os.path.exists(votes_p):
         v = _load(rep, votes_p)
         if v is not None:
-            if v.ndim != 2 or v.shape[1] != 4:
+            # [N,4] (mask,dxyz) or the lineage GT_VOTE_FACTOR=3 layout
+            # [N,>=10] (mask + 3 candidate offsets) — both accepted by the
+            # loader (data/sunrgbd.py) and written by preproc_sunrgbd
+            if v.ndim != 2 or (v.shape[1] != 4 and v.shape[1] < 10):
                 rep.err(votes_p, "shape",
-                        f"expected [N,4] (mask,dx,dy,dz), got {list(v.shape)}")
+                        "expected [N,4] (mask,dx,dy,dz) or [N,>=10] "
+                        f"(mask + 3 candidate offsets), got {list(v.shape)}")
             else:
                 if pc is not None and v.shape[0] != pc.shape[0]:
                     rep.err(votes_p, "N",
