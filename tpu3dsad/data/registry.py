@@ -70,4 +70,8 @@ def get_dataset(cfg: Config):
         from tpu3dsad.data.packed import PackedDetectionDataset
 
         return PackedDetectionDataset(cfg)
+    if name == "modelnet":
+        from tpu3dsad.data.modelnet import ModelNetClassificationDataset
+
+        return ModelNetClassificationDataset(cfg)
     raise ValueError(f"unknown dataset {name!r}")

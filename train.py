@@ -107,6 +107,30 @@ def run_classifier(cfg):
                 }
             )
         )
+        if ((epoch + 1) % cfg.train.eval_every == 0
+                or epoch == cfg.train.num_epochs - 1):
+            # held-out accuracy — the lineage anchor metric (ModelNet40
+            # 91.9%, SURVEY.md §6); synthetic data has no fixed val split,
+            # so fresh clouds stand in for it there
+            if cfg.data.name == "modelnet":
+                val_iter = ds.val_batches(rng_np, cfg.train.batch_size)
+            else:
+                val_iter = (make_batch() for _ in range(8))
+            tot_acc = tot_loss = tot_n = 0.0
+            for vb in val_iter:
+                m = train_lib.classifier_eval_step(
+                    model, state, {k: jnp.asarray(v) for k, v in vb.items()}
+                )
+                n = float(m["n_valid"])
+                tot_acc += float(m["acc"]) * n
+                tot_loss += float(m["loss"]) * n
+                tot_n += n
+            print(json.dumps({
+                "step": step, "eval/epoch": epoch,
+                "eval/val_acc": round(tot_acc / max(tot_n, 1.0), 4),
+                "eval/val_loss": round(tot_loss / max(tot_n, 1.0), 4),
+                "eval/n_scenes": int(tot_n),
+            }))
         if ((epoch + 1) % max(1, cfg.train.ckpt_every) == 0
                 or epoch == cfg.train.num_epochs - 1):
             train_lib.save_checkpoint(cfg.train.ckpt_dir, state, step)
