@@ -111,3 +111,26 @@ def test_max_scenes_limits_walk(tmp_path, capsys):
 def test_unknown_family_exits(tmp_path):
     with pytest.raises(SystemExit, match="contract"):
         validate_main(["data.name=synthetic", f"root={tmp_path}"])
+
+
+def test_modelnet_family_and_test_split_fallback(tmp_path):
+    """modelnet npy contract validates; a test/ dir stands in for val/
+    (the loaders treat them as synonyms)."""
+    d = tmp_path / "train"
+    d.mkdir()
+    np.save(d / "chair_0000_pts.npy",
+            np.random.default_rng(0).standard_normal((40, 3)).astype(np.float32))
+    np.save(d / "chair_0000_label.npy", np.int32(1))
+    t = tmp_path / "test"
+    t.mkdir()
+    np.save(t / "chair_0001_pts.npy",
+            np.random.default_rng(1).standard_normal((40, 6)).astype(np.float32))
+    np.save(t / "chair_0001_label.npy", np.int32(1))
+    rep = validate_root("modelnet", str(tmp_path))
+    assert not rep.errors, rep.errors
+    assert rep.scenes == 2  # the test/ split was walked as val
+
+    # corruption: float label must be named
+    np.save(t / "chair_0001_label.npy", np.float32(1.0))
+    rep = validate_root("modelnet", str(tmp_path))
+    assert any("chair_0001_label" in e and "dtype" in e for e in rep.errors)

@@ -179,10 +179,27 @@ def validate_kitti_scene(rep: Report, d: str, idx: str):
                 cols=8, cls_col=7, valid_cls=range(3), cls_desc="cls 0..2")
 
 
+def validate_modelnet_scene(rep: Report, d: str, name: str):
+    pc_p = os.path.join(d, f"{name}_pts.npy")
+    _check_points(rep, d, name, pc_p, 3, "xyz(+normals)")
+    lab_p = os.path.join(d, f"{name}_label.npy")
+    lab = _load(rep, lab_p)
+    if lab is None:
+        return
+    if np.asarray(lab).size != 1:
+        rep.err(lab_p, "shape",
+                f"expected scalar class id, got {list(np.shape(lab))}")
+    elif not np.issubdtype(np.asarray(lab).dtype, np.integer):
+        rep.err(lab_p, "dtype", f"expected integer, got {np.asarray(lab).dtype}")
+    elif int(np.asarray(lab).reshape(())) < 0:
+        rep.err(lab_p, "class id", f"negative id {int(np.asarray(lab).reshape(()))}")
+
+
 _FAMILIES = {
     "scannet": ("_vert.npy", validate_scannet_scene),
     "sunrgbd": ("_pc.npy", validate_sunrgbd_scene),
     "kitti": ("_pc.npy", validate_kitti_scene),
+    "modelnet": ("_pts.npy", validate_modelnet_scene),
 }
 
 
@@ -199,6 +216,9 @@ def validate_root(name: str, root: str, max_scenes: int | None = None) -> Report
         return rep
     for split in ("train", "val"):
         d = os.path.join(root, split)
+        if split == "val" and not os.path.isdir(d) and os.path.isdir(
+                os.path.join(root, "test")):
+            d = os.path.join(root, "test")  # loaders treat test==val
         if not os.path.isdir(d):
             (rep.err if split == "train" else rep.warn)(
                 d, "split", "missing split directory"
