@@ -36,6 +36,73 @@ def test_group_grad_is_scatter_add(rng):
     np.testing.assert_allclose(np.asarray(g), want, atol=1e-6)
 
 
+def test_scatter_rows_matmul_and_scatter_match_oracle(rng, monkeypatch):
+    """_scatter_rows has two forms — XLA scatter (CPU default) and the
+    one-hot MXU matmul (TPU default; the replacement for XLA's per-row-
+    serializing scatter on TPU). Both must compute the lineage
+    gather_points_grad sums; they may differ from each other only in
+    summation order (the lineage bwd is an unordered atomicAdd). Weighted
+    cotangents + colliding indices exercise real accumulation; N spans
+    more than one one-hot tile via a shrunk tile width."""
+    import importlib
+
+    # the function re-export shadows the submodule attribute; go via importlib
+    group_mod = importlib.import_module("tpu3dsad.ops.xla.group")
+
+    B, U, N, C = 3, 55, 37, 6
+    idx = jnp.asarray(rng.integers(0, 7, (B, U)), dtype=jnp.int32)
+    g = jnp.asarray(rng.standard_normal((B, U, C)).astype(np.float32))
+    want = np.zeros((B, N, C), np.float32)
+    gn = np.asarray(g)
+    for b in range(B):
+        for u in range(U):
+            want[b, int(idx[b, u])] += gn[b, u]
+
+    monkeypatch.setattr(group_mod, "_ONEHOT_TILE_N", 16)
+    for mode in ("0", "1"):  # 0 = force matmul, 1 = force scatter
+        monkeypatch.setenv("TPU3DSAD_SCATTER_VJP", mode)
+        out = np.asarray(group_mod._scatter_rows(g, idx, N))
+        np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+
+def test_weighted_vjp_matches_scatter_reference(rng):
+    """The grad of group() through the custom VJP (whichever _scatter_rows
+    form the platform selects) equals the hand-rolled scatter oracle."""
+    B, N, C, M, K = 3, 37, 6, 11, 5
+    pts = jnp.asarray(rng.standard_normal((B, N, C)).astype(np.float32))
+    # force collisions: indices drawn from a small range
+    idx = jnp.asarray(rng.integers(0, 7, (B, M, K)), dtype=jnp.int32)
+    w = jnp.asarray(rng.standard_normal((B, M, K, C)).astype(np.float32))
+
+    g = jax.grad(lambda p: jnp.sum(ops.group(p, idx) * w))(pts)
+    want = np.zeros((B, N, C), np.float32)
+    wn = np.asarray(w)
+    for b in range(B):
+        for m in range(M):
+            for k in range(K):
+                want[b, int(idx[b, m, k])] += wn[b, m, k]
+    np.testing.assert_allclose(np.asarray(g), want, rtol=1e-5, atol=1e-5)
+
+    # flat gather VJP through jit, and under vmap (CP/shard paths)
+    idx2 = jnp.asarray(rng.integers(0, N, (B, M)), dtype=jnp.int32)
+    g2 = jax.jit(jax.grad(lambda p: jnp.sum(ops.gather(p, idx2) ** 2) / 2))(pts)
+    want2 = np.zeros((B, N, C), np.float32)
+    pn = np.asarray(pts)
+    for b in range(B):
+        for m in range(M):
+            want2[b, int(idx2[b, m])] += pn[b, int(idx2[b, m])]
+    np.testing.assert_allclose(np.asarray(g2), want2, rtol=1e-5, atol=1e-6)
+
+    gv = jax.vmap(
+        lambda p, i: jax.grad(lambda q: jnp.sum(ops.gather(q[None], i[None])))(p)
+    )(pts, idx2)
+    want3 = np.zeros((B, N, C), np.float32)
+    for b in range(B):
+        for m in range(M):
+            want3[b, int(idx2[b, m])] += 1.0
+    np.testing.assert_allclose(np.asarray(gv), want3, atol=1e-6)
+
+
 @pytest.mark.parametrize("impl", IMPLS)
 def test_query_and_group_shapes_and_relative_xyz(rng, impl):
     B, N, M, K, C = 2, 120, 16, 8, 6

@@ -1,8 +1,23 @@
 """Gather / group / query-and-group — pure-XLA reference implementation.
 
-gather/group are XLA gathers (`take_along_axis`); their VJPs are XLA
-scatter-adds, which is exactly the lineage's gather_points_grad /
-group_points_grad CUDA semantics (SURVEY.md §2.1) for free.
+gather/group are XLA gathers (`take_along_axis`). Their VJP is the lineage's
+gather_points_grad / group_points_grad scatter-add (SURVEY.md §2.1) — but
+NOT via XLA's scatter op, which serializes per update row on TPU (~45ns/row;
+a single SA-scale scatter cost 48ms and the backward pass was 42% of the
+config-#3 train step — bench/bench_scatter_vjp.py, bench_train_decompose.py).
+Instead the same sums run as a one-hot matmul on the MXU:
+
+    grad_src[b,n,c] = sum_u [idx[b,u]==n] * g[b,u,c]
+
+measured 2-11x the scatter at the model's VJP shapes. Summation order
+differs from XLA's scatter — and from the lineage, whose CUDA bwd is an
+atomicAdd with NONDETERMINISTIC order, so no bitwise anchor exists; the
+matmul form is as exact as the lineage's own backward. Products use
+Precision.HIGH (bf16_3x, near-fp32; measured free vs bf16) with fp32
+accumulation. The matmul path engages only when the backend is NOT cpu:
+on CPU native scatter is efficient and the matmul is strictly more FLOPs.
+TPU3DSAD_SCATTER_VJP=1 forces scatter everywhere, =0 forces the matmul
+(parity/debug).
 
 query_and_group fuses ball-query + group + center-relative xyz (+ optional
 feature concat), the "gather-and-group" of the north star (BASELINE.json:5),
@@ -11,24 +26,92 @@ mirroring pointnet2_utils.QueryAndGroup in the lineage.
 
 from __future__ import annotations
 
+import os
+from functools import lru_cache
+
+import jax
 import jax.numpy as jnp
 
 from tpu3dsad.ops.xla.ball_query import ball_query
 
+# one-hot tile width: bounds the materialized [B, U, nt] one-hot if XLA
+# chooses not to fuse the iota-compare into the dot operand
+_ONEHOT_TILE_N = 4096
+
+
+def _use_scatter() -> bool:
+    """The one-hot matmul is a TPU decision (XLA scatter serializes per
+    row there); on CPU/GPU native scatter is efficient and the matmul form
+    is strictly more FLOPs (O(U·N·C) vs O(U·C)) — CI on CPU measurably
+    slows with it. Env override: TPU3DSAD_SCATTER_VJP=1 forces scatter
+    everywhere, =0 forces the matmul (parity/debug)."""
+    env = os.environ.get("TPU3DSAD_SCATTER_VJP")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    return jax.default_backend() == "cpu"
+
+
+def _scatter_rows(g: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
+    """sum_u [idx[b,u]==j] * g[b,u,c] -> [B,n,C] (the gather-VJP sums)."""
+    if _use_scatter():
+        return jnp.zeros((g.shape[0], n, g.shape[-1]), jnp.float32).at[
+            jnp.arange(g.shape[0])[:, None], idx
+        ].add(g.astype(jnp.float32))
+    g32 = g.astype(jnp.float32)
+    outs = []
+    for t0 in range(0, n, _ONEHOT_TILE_N):
+        cols = jnp.arange(t0, min(t0 + _ONEHOT_TILE_N, n), dtype=jnp.int32)
+        oh = (idx[:, :, None] == cols[None, None, :]).astype(jnp.float32)
+        outs.append(
+            jnp.einsum(
+                "bun,buc->bnc",
+                oh,
+                g32,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGH,
+            )
+        )
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
+@lru_cache(maxsize=None)
+def _make_take_rows(n: int, dtype_name: str):
+    """custom_vjp'd flat gather, parameterized by the STATIC source length
+    and dtype (custom_vjp residuals must be JAX types)."""
+
+    @jax.custom_vjp
+    def take(points, idx):
+        return jnp.take_along_axis(
+            points, idx[..., None].astype(jnp.int32), axis=1
+        )
+
+    def fwd(points, idx):
+        return take(points, idx), idx
+
+    def bwd(idx, g):
+        return _scatter_rows(g, idx.astype(jnp.int32), n).astype(dtype_name), None
+
+    take.defvjp(fwd, bwd)
+    return take
+
+
+def _take_rows(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """points [B,N,C], idx [B,U] int -> [B,U,C]."""
+    return _make_take_rows(points.shape[1], str(points.dtype))(points, idx)
+
 
 def gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """points [B,N,C], idx [B,M] -> [B,M,C]."""
-    return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
+    return _take_rows(points, idx)
 
 
 def group(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """points [B,N,C], idx [B,M,K] -> [B,M,K,C]."""
     B, M, K = idx.shape
     C = points.shape[-1]
-    flat = jnp.take_along_axis(
-        points, idx.reshape(B, M * K, 1).astype(jnp.int32), axis=1
-    )
-    return flat.reshape(B, M, K, C)
+    return _take_rows(points, idx.reshape(B, M * K)).reshape(B, M, K, C)
 
 
 def group_epilogue(gathered, centers, cnt, radius, nsample, *,
