@@ -24,7 +24,9 @@ import numpy as np
 
 print("devices:", jax.devices())
 
-R = 8
+# per-rep time = true device time + dispatch/R; run with R=64 to expose
+# how much of the small-shape "floor" is the ~30ms tunnel dispatch
+R = int(os.environ.get("TPU3DSAD_BENCH_R", "8"))
 
 
 def timed(fn, reps=5):

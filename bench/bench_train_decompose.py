@@ -35,7 +35,10 @@ print("devices:", jax.devices())
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 40960
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-R = 8
+# Raise R (e.g. 64) to shrink the residual dispatch share per rep:
+# per-rep time = true device time + dispatch/R, so comparing R=8 vs R=64
+# also MEASURES the dispatch floor instead of assuming it.
+R = int(os.environ.get("TPU3DSAD_BENCH_R", "8"))
 
 cfg = apply_overrides(Config(), [
     "model.name=detector", f"data.num_points={N}", "data.max_boxes=64",
@@ -222,6 +225,28 @@ def run_sa1_grad(batch):
     return acc
 
 
+@jax.jit
+def run_loss_only(state, batch):
+    """detection_loss alone, replayed on ONE set of end_points (computed
+    in-program, outside the scan) with the batch perturbed per rep — the
+    fwdloss-minus-fwd residual also folds in train=True BN bookkeeping, so
+    this is the honest loss-stage figure."""
+    end_points = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["points"], None, mask=batch["point_mask"], train=False,
+    )
+
+    def body(acc, i):
+        b = dict(batch,
+                 gt_centers=batch["gt_centers"] + i.astype(jnp.float32) * 1e-7)
+        loss, _ = detection_loss(
+            end_points, b, mean_sizes, cfg.model.num_heading_bins, bank)
+        return acc + loss, None
+
+    acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(R))
+    return acc
+
+
 def timed(fn, reps=5):
     np.asarray(fn())
     ts = []
@@ -243,6 +268,7 @@ def main():
         ("sa1_grp", lambda: run_sa1_grp(batch)),
         ("sa1_full", lambda: run_sa1_full(batch)),
         ("sa1_grad", lambda: run_sa1_grad(batch)),
+        ("loss", lambda: run_loss_only(state, batch)),
     ]
     out = {}
     for name, fn in rows:

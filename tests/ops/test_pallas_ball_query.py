@@ -217,3 +217,95 @@ def test_kernel_dense_first_tile_full_q_range(rng):
         ei, ec = ball_query_oracle(xyz[b], centers[b], r, K)
         np.testing.assert_array_equal(np.asarray(idx[b]), ei)
         np.testing.assert_array_equal(np.asarray(cnt[b]), ec)
+
+
+def _clustered(rng, B=2, N=512, M=64):
+    """Surface-like clustered cloud (what the AABB tile skip is for)."""
+    centers3 = rng.uniform(-1, 1, (B, 8, 3)).astype(np.float32)
+    pick = rng.integers(0, 8, (B, N))
+    xyz = centers3[np.arange(B)[:, None], pick] + rng.normal(
+        0, 0.08, (B, N, 3)
+    ).astype(np.float32)
+    ctr = xyz[:, :M]
+    return jnp.asarray(xyz), jnp.asarray(ctr)
+
+
+def test_sorted_tier_exact_membership_and_counts(rng):
+    """The Z-order-sorted fast tier must return EXACT counts and only true
+    in-ball members (its advantage over the approx tier); when a ball has
+    <= K members the selected SET equals the exact tier's (both take all
+    members; only slot order may differ)."""
+    from tpu3dsad.ops.pallas.ball_query import sorted_ball_query
+
+    K, r = 16, 0.25
+    xyz, ctr = _clustered(rng)
+    si, sc = sorted_ball_query(xyz, ctr, r, K)
+    xi, xc = bq_xla(xyz, ctr, r, K)
+    si, sc, xi, xc = map(np.asarray, (si, sc, xi, xc))
+    np.testing.assert_array_equal(sc, xc)  # counts exact
+
+    x = np.asarray(xyz)
+    c = np.asarray(ctr)
+    d2 = ((c[:, :, None, :] - x[:, None, :, :]) ** 2).sum(-1)
+    within = d2 < r * r
+    total = within.sum(-1)
+    for b in range(x.shape[0]):
+        for m in range(c.shape[1]):
+            sel = si[b, m, : max(sc[b, m], 1)]
+            if sc[b, m] > 0:
+                assert within[b, m][sel].all()  # members only
+            if total[b, m] <= K:
+                assert set(si[b, m].tolist()) == set(xi[b, m].tolist())
+
+
+def test_sorted_tier_masking_invariance(rng):
+    """Appending masked junk must not change the result: junk is excluded
+    from the Morton grid anchor, sorts to the end, and cannot join balls."""
+    from tpu3dsad.ops.pallas.ball_query import sorted_ball_query
+
+    K, r = 16, 0.3
+    xyz, ctr = _clustered(rng, N=384)
+    B, N, _ = xyz.shape
+    i0, c0 = sorted_ball_query(xyz, ctr, r, K,
+                               mask=jnp.ones((B, N), bool))
+    junk = jnp.asarray(rng.uniform(-50, 50, (B, 128, 3)).astype(np.float32))
+    padded = jnp.concatenate([xyz, junk], axis=1)
+    mask = jnp.concatenate(
+        [jnp.ones((B, N), bool), jnp.zeros((B, 128), bool)], axis=1)
+    i1, c1 = sorted_ball_query(padded, ctr, r, K, mask=mask)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+
+def test_fast_mode_dispatch_routes_to_sorted(rng, monkeypatch):
+    """ops.ball_query(impl='pallas', exact=False) under fast_mode='sorted'
+    must produce the sorted tier's exact counts (the approx tier cannot
+    guarantee them) for supports above the size gate, fall back to approx
+    below it (small SA2-4 layers have too few tiles for the AABB skip to
+    pay), and restore cleanly."""
+    import importlib
+
+    import tpu3dsad.ops as ops
+
+    # the function re-export shadows the submodule attribute; go via importlib
+    pbq = importlib.import_module("tpu3dsad.ops.pallas.ball_query")
+
+    K, r = 16, 0.25
+    xyz, ctr = _clustered(rng)
+    want_i, want_c = pbq.sorted_ball_query(xyz, ctr, r, K)
+    approx_i, approx_c = bq_xla(xyz, ctr, r, K, exact=False)
+    assert ops.get_fast_mode() == "approx"
+    ops.set_fast_mode("sorted")
+    try:
+        monkeypatch.setattr(pbq, "_SORTED_MIN_N", 256)  # N=512 qualifies
+        gi, gc = ops.ball_query(xyz, ctr, r, K, impl="pallas", exact=False)
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(want_i))
+        np.testing.assert_array_equal(np.asarray(gc), np.asarray(want_c))
+        monkeypatch.setattr(pbq, "_SORTED_MIN_N", 4096)  # gate: approx
+        ai, ac = ops.ball_query(xyz, ctr, r, K, impl="pallas", exact=False)
+        np.testing.assert_array_equal(np.asarray(ai), np.asarray(approx_i))
+        np.testing.assert_array_equal(np.asarray(ac), np.asarray(approx_c))
+    finally:
+        ops.set_fast_mode("approx")
+    with pytest.raises(ValueError):
+        ops.set_fast_mode("bogus")

@@ -168,6 +168,10 @@ class Config:
     # single-pass approx in-ball member selection (11x faster grouping;
     # membership stays exact-in-ball). Turn off for lineage scan-order parity.
     ops_fast_grouping: bool = True
+    # pallas-tier fast selector: 'approx' (lax.approx_max_k, ~99.9% member
+    # recall) | 'sorted' (exact kernel on Z-order-sorted views: exact
+    # membership/counts, spatial selection order — ops.pallas.ball_query)
+    ops_fast_mode: str = "approx"
 
 
 def _coerce_obj(obj: Any, typ: Any):

@@ -21,6 +21,25 @@ from tpu3dsad.ops.xla.interpolate import interp_weights
 _DEFAULT_IMPL = os.environ.get("TPU3DSAD_OPS_IMPL", "xla")
 _VALID_IMPLS = ("xla", "pallas")
 _EXACT_GROUPING = os.environ.get("TPU3DSAD_EXACT_GROUPING", "1") == "1"
+_FAST_MODE = os.environ.get("TPU3DSAD_FAST_MODE", "approx")
+_VALID_FAST_MODES = ("approx", "sorted")
+
+
+def set_fast_mode(mode: str) -> None:
+    """Which fast-grouping selector the pallas tier uses (xla tier always
+    uses approx): 'approx' = single-pass lax.approx_max_k (~99.9%% member
+    recall); 'sorted' = the exact kernel on Z-order-sorted views (EXACT
+    membership and counts; selection order is spatial, not index order —
+    see ops.pallas.ball_query.sorted_ball_query)."""
+    global _FAST_MODE
+    if mode not in _VALID_FAST_MODES:
+        raise ValueError(
+            f"fast mode must be one of {_VALID_FAST_MODES}, got {mode!r}")
+    _FAST_MODE = mode
+
+
+def get_fast_mode() -> str:
+    return _FAST_MODE
 
 
 def set_fast_grouping(fast: bool) -> None:
@@ -152,4 +171,6 @@ __all__ = [
     "get_default_impl",
     "set_fast_grouping",
     "get_fast_grouping",
+    "set_fast_mode",
+    "get_fast_mode",
 ]

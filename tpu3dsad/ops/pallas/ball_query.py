@@ -43,13 +43,24 @@ from tpu3dsad.ops.xla.common import valid_mask
 
 _R_WIDTH = 8  # r-level of the two-level one-hot; K must be a multiple
 
+# fast_mode='sorted' only engages above this support size: the AABB tile
+# skip needs many point tiles to pay for the sort/remap overhead; small
+# SA2-4 layers (N<=2048 => <=2 tiles) stay on the approx selector
+import os as _os
 
-def _kernel(c_ref, xT_ref, u_ref, out_ref, run_ref, *, r2: float, k: int):
+_SORTED_MIN_N = int(_os.environ.get("TPU3DSAD_SORTED_MIN_N", "8192"))
+
+
+def _kernel(skip_ref, c_ref, xT_ref, u_ref, out_ref, run_ref, *, r2: float,
+            k: int):
     """One (batch, center-tile, point-tile) grid step.
 
-    c_ref [1,Mt,3] centers, xT_ref [1,3,Nt] points (transposed), u_ref
-    [Nt,Nt] upper-triangular ones (incl. diagonal), out_ref [1,Mt,K] slot
-    accumulator (idx+1, 0=empty), run_ref [Mt,1] running in-ball count.
+    skip_ref: scalar-prefetched int32 [B*MT*NT] — 1 where the center-tile
+    and point-tile AABBs are provably further apart than r (computed in
+    XLA by `_tile_skip`); c_ref [1,Mt,3] centers, xT_ref [1,3,Nt] points
+    (transposed), u_ref [Nt,Nt] upper-triangular ones (incl. diagonal),
+    out_ref [1,Mt,K] slot accumulator (idx+1, 0=empty), run_ref [Mt,1]
+    running in-ball count.
     """
     ni = pl.program_id(2)
     nt = xT_ref.shape[-1]
@@ -60,10 +71,19 @@ def _kernel(c_ref, xT_ref, u_ref, out_ref, run_ref, *, r2: float, k: int):
         out_ref[...] = jnp.zeros_like(out_ref)
         run_ref[...] = jnp.zeros_like(run_ref)
 
-    # Once every center in this block holds K points (min running count ≥ K)
-    # later tiles can write nothing: rank ≥ run ≥ K kills every `ok`, and
-    # run itself is only read through rank — skip the whole tile body.
-    @pl.when(jnp.min(run_ref[...]) < k)
+    # Two skips, both exact:
+    #  - saturation: once every center in this block holds K points (min
+    #    running count ≥ K) later tiles can write nothing: rank ≥ run ≥ K
+    #    kills every `ok`, and run itself is only read through rank.
+    #  - AABB disjointness: no point of this tile can be inside any ball of
+    #    this center tile, so `within` would be all-false — no slot writes
+    #    AND no run_ref change. Pays off when the caller spatially sorts
+    #    points and centers (sorted fast tier below): a ball's members then
+    #    concentrate in a few point tiles and the rest of the sweep skips.
+    flat = (pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)) \
+        * pl.num_programs(2) + ni
+
+    @pl.when((jnp.min(run_ref[...]) < k) & (skip_ref[flat] == 0))
     def _tile_body():
         c = c_ref[0]  # [Mt, 3]
         x = xT_ref[0]  # [3, Nt]
@@ -148,6 +168,29 @@ def _pick_tiles(m: int, n: int) -> tuple[int, int] | None:
     return None
 
 
+def _tile_skip(centers, xyz, mt: int, nt: int, r2: float) -> jnp.ndarray:
+    """int32 [B * M//mt * N//nt]: 1 where the center-tile and point-tile
+    axis-aligned bounding boxes are separated by more than r, so no point
+    of the tile can fall inside any ball of the center tile. The 1e-3
+    relative slack keeps the test conservative against fp32 rounding
+    (boundary membership is decided by the kernel's elementwise d², never
+    here — a 0 flag only means "must look")."""
+    B = xyz.shape[0]
+    cb = centers.reshape(B, -1, mt, 3)
+    xb = xyz.reshape(B, -1, nt, 3)
+    cmin, cmax = cb.min(2), cb.max(2)  # [B, MT, 3]
+    xmin, xmax = xb.min(2), xb.max(2)  # [B, NT, 3]
+    sep = jnp.maximum(
+        0.0,
+        jnp.maximum(
+            cmin[:, :, None, :] - xmax[:, None, :, :],
+            xmin[:, None, :, :] - cmax[:, :, None, :],
+        ),
+    )  # [B, MT, NT, 3]
+    d2 = jnp.sum(sep * sep, axis=-1)
+    return (d2 > r2 * (1.0 + 1e-3)).astype(jnp.int32).reshape(-1)
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "nsample", "interpret"))
 def _ball_query_kernel(xyz, centers, radius: float, nsample: int,
                        interpret: bool = False):
@@ -157,29 +200,35 @@ def _ball_query_kernel(xyz, centers, radius: float, nsample: int,
     assert tiles is not None, "caller must check supported()"
     Mt, Nt = tiles
 
-    xT = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # [B, 3, N]
+    xyz = xyz.astype(jnp.float32)
+    centers = centers.astype(jnp.float32)
+    xT = jnp.swapaxes(xyz, 1, 2)  # [B, 3, N]
     u = jnp.triu(jnp.ones((Nt, Nt), jnp.bfloat16))  # n ≤ j
+    r2 = float(radius) * float(radius)
+    skip = _tile_skip(centers, xyz, Mt, Nt, r2)
 
     grid = (B, M // Mt, N // Nt)
-    slots = pl.pallas_call(
-        functools.partial(
-            _kernel, r2=float(radius) * float(radius), k=nsample
-        ),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Mt, 3), lambda b, mi, ni: (b, mi, 0),
+            pl.BlockSpec((1, Mt, 3), lambda b, mi, ni, *_: (b, mi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, Nt), lambda b, mi, ni: (b, 0, ni),
+            pl.BlockSpec((1, 3, Nt), lambda b, mi, ni, *_: (b, 0, ni),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Nt, Nt), lambda b, mi, ni: (0, 0),
+            pl.BlockSpec((Nt, Nt), lambda b, mi, ni, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Mt, nsample), lambda b, mi, ni: (b, mi, 0),
+        out_specs=pl.BlockSpec((1, Mt, nsample), lambda b, mi, ni, *_: (b, mi, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, M, nsample), jnp.float32),
         scratch_shapes=[pltpu.VMEM((Mt, 1), jnp.float32)],
+    )
+    slots = pl.pallas_call(
+        functools.partial(_kernel, r2=r2, k=nsample),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, M, nsample), jnp.float32),
         interpret=interpret,
-    )(centers.astype(jnp.float32), xT, u)
+    )(skip, centers, xT, u)
 
     hit = slots > 0
     idx = jnp.where(hit, slots - 1.0, 0.0).astype(jnp.int32)
@@ -211,12 +260,107 @@ def supported(xyz, centers, nsample: int) -> bool:
     )
 
 
+def _spread_bits(v: jnp.ndarray) -> jnp.ndarray:
+    """int32 in [0,256): place bit i at position 3i (Morton component)."""
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def _morton_codes(pts, mn, inv_cell) -> jnp.ndarray:
+    """[...,3] fp32 -> int32 Z-order codes on a 256³ grid anchored at mn."""
+    q = jnp.clip((pts - mn) * inv_cell, 0.0, 255.0).astype(jnp.int32)
+    return (
+        _spread_bits(q[..., 0])
+        | (_spread_bits(q[..., 1]) << 1)
+        | (_spread_bits(q[..., 2]) << 2)
+    )
+
+
+def sorted_ball_query(xyz, centers, radius, nsample, *, mask=None,
+                      interpret=False):
+    """Fast tier: the exact kernel on SPATIALLY SORTED views of points and
+    centers, results mapped back to the caller's order.
+
+    Unsorted inputs defeat the kernel's AABB tile skip — every point tile
+    holds points near every center tile, so all B·(M/Mt)·(N/Nt) tile pairs
+    pay the full body. Z-order (Morton) sorting both arrays concentrates a
+    ball's members in a few point tiles per center tile and the rest of the
+    sweep skips. Membership and counts are EXACT (order-invariant, unlike
+    the ~99.9%-recall approx_max_k tier); only WHICH K of >K in-ball
+    members fill the slots differs from the lineage first-K-in-index-order
+    rule — the kernel's scan order is the sorted order, i.e. near-first
+    spatially. Deterministic for fixed input (stable sorts; the grid is
+    anchored to the valid-point bounding box, so padding cannot move it).
+    """
+    B, N, _ = xyz.shape
+    M = centers.shape[1]
+    valid = valid_mask(mask, (B, N))
+    x = jnp.where(valid[..., None], xyz.astype(jnp.float32),
+                  jnp.float32(1e9))
+    x = jax.lax.stop_gradient(x)
+    c = jax.lax.stop_gradient(centers.astype(jnp.float32))
+
+    big = jnp.float32(3e38)
+    mn = jnp.min(jnp.where(valid[..., None], x, big), axis=1, keepdims=True)
+    mx = jnp.max(jnp.where(valid[..., None], x, -big), axis=1, keepdims=True)
+    inv_cell = 256.0 / jnp.maximum(mx - mn, 1e-6)  # [B,1,3]
+
+    codes_x = jnp.where(valid, _morton_codes(x, mn, inv_cell),
+                        jnp.int32(1 << 30))  # invalid points sort last
+    iota_n = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+    _, perm = jax.lax.sort_key_val(codes_x, iota_n, is_stable=True)
+    xs = jnp.take_along_axis(x, perm[..., None], axis=1)
+
+    codes_c = _morton_codes(c, mn, inv_cell)
+    iota_m = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (B, M))
+    _, perm_c = jax.lax.sort_key_val(codes_c, iota_m, is_stable=True)
+    cs = jnp.take_along_axis(c, perm_c[..., None], axis=1)
+    _, inv_c = jax.lax.sort_key_val(perm_c, iota_m, is_stable=True)
+
+    Mp, Np = _aligned(M, N)
+    if Np != N:  # sentinel pads can never be within any real ball
+        xs = jnp.concatenate(
+            [xs, jnp.full((B, Np - N, 3), 1e9, jnp.float32)], axis=1)
+    if Mp != M:  # repeat the last sorted center: keeps the tail tile's
+        # AABB tight (zero-pads would drag it to the origin)
+        cs = jnp.concatenate(
+            [cs, jnp.broadcast_to(cs[:, -1:], (B, Mp - M, 3))], axis=1)
+    idx_s, cnt_s = _ball_query_kernel(xs, cs, float(radius), int(nsample),
+                                      interpret=interpret)
+    if Mp != M:
+        idx_s, cnt_s = idx_s[:, :M], cnt_s[:, :M]
+
+    # sorted support slots -> original point ids; empty balls stay 0
+    perm_pad = perm if Np == N else jnp.concatenate(
+        [perm, jnp.zeros((B, Np - N), perm.dtype)], axis=1)
+    mapped = jnp.take_along_axis(
+        perm_pad, idx_s.reshape(B, M * nsample), axis=1
+    ).reshape(B, M, nsample)
+    mapped = jnp.where(cnt_s[..., None] > 0, mapped, 0).astype(jnp.int32)
+
+    # sorted center rows -> the caller's center order
+    idx = jnp.take_along_axis(mapped, inv_c[..., None], axis=1)
+    cnt = jnp.take_along_axis(cnt_s, inv_c, axis=1)
+    return idx, cnt
+
+
 def ball_query(xyz, centers, radius, nsample, *, mask=None, exact=True,
                interpret=False):
     """Pallas-tier ball query. Exact scan-order semantics; same signature as
-    the XLA tier. Falls back to XLA for unsupported shapes or fast mode
-    (the approx path is already at the approx_max_k floor —
-    docs/kernel_notes.md)."""
+    the XLA tier. Fast mode dispatches on ops.get_fast_mode(): 'sorted'
+    runs the exact kernel on Z-ordered views (exact membership/counts, see
+    sorted_ball_query); 'approx' falls back to the XLA approx_max_k tier.
+    Unsupported shapes fall back to XLA either way."""
+    if (not exact and xyz.shape[1] >= _SORTED_MIN_N
+            and supported(xyz, centers, nsample)):
+        from tpu3dsad import ops as _ops
+
+        if _ops.get_fast_mode() == "sorted":
+            return sorted_ball_query(xyz, centers, radius, nsample,
+                                     mask=mask, interpret=interpret)
     if not exact or not supported(xyz, centers, nsample):
         from tpu3dsad.ops.xla.ball_query import ball_query as xla_bq
 

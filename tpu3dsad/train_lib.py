@@ -37,6 +37,8 @@ def apply_runtime_config(cfg: Config) -> None:
     if cfg.ops_impl != "xla":
         ops.set_default_impl(cfg.ops_impl)
     ops.set_fast_grouping(cfg.ops_fast_grouping)
+    if cfg.ops_fast_mode != "approx":
+        ops.set_fast_mode(cfg.ops_fast_mode)
     if not cfg.train.bf16_matmul:
         jax.config.update("jax_default_matmul_precision", "highest")
 
