@@ -149,6 +149,10 @@ def main():
     except Exception:
         vs = None
 
+    from tpu3dsad import ops as _ops
+
+    grouping = ("exact" if not _ops.get_fast_grouping()
+                else _ops.get_fast_mode())
     print(
         json.dumps(
             {
@@ -156,6 +160,7 @@ def main():
                 "value": round(scenes_per_sec, 3),
                 "unit": "scenes/sec",
                 "vs_baseline": round(vs, 3) if vs else None,
+                "grouping": grouping,
             }
         )
     )
