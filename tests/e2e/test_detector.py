@@ -103,3 +103,39 @@ def test_detector_overfits_synthetic_scenes():
     calc.step(preds, gts)
     m = calc.compute_metrics()
     assert m["mAP"] > 0.3, m
+
+
+def test_detector_forward_under_sorted_fast_mode(monkeypatch):
+    """The detector's SA stack must compose with fast_mode='sorted' (the
+    Z-order tier): pallas impl, gate lowered so SA1 (N=1024) takes the
+    sorted path while deeper layers fall back to approx. Interpret mode —
+    checks wiring/masking composition, not speed."""
+    import importlib
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu3dsad import ops
+
+    pbq = importlib.import_module("tpu3dsad.ops.pallas.ball_query")
+
+    cfg = _tiny_cfg()
+    model, state, batch, _ = _setup(cfg)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    old_impl, old_mode = ops.get_default_impl(), ops.get_fast_mode()
+    monkeypatch.setattr(pbq, "_SORTED_MIN_N", 512)
+    ops.set_default_impl("pallas")
+    ops.set_fast_mode("sorted")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            end_points = model.apply(
+                variables, batch["points"], mask=batch["point_mask"],
+                train=False,
+            )
+    finally:
+        ops.set_default_impl(old_impl)
+        ops.set_fast_mode(old_mode)
+
+    assert end_points["center"].shape == (2, cfg.model.num_proposals, 3)
+    for k in ("center", "objectness_scores", "heading_scores", "vote_xyz"):
+        assert bool(np.isfinite(np.asarray(end_points[k])).all()), k
