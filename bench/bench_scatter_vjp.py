@@ -83,6 +83,20 @@ def run_matmul(idx, g, N, nt=2048, mode="bf16"):
     return acc
 
 
+@partial(jax.jit, static_argnames=("N",))
+def run_pallas(idx, g, N):
+    """Pallas one-hot-tiles-in-VMEM kernel (ops/pallas/scatter.py)."""
+    from tpu3dsad.ops.pallas.scatter import scatter_rows
+
+    def body(acc, i):
+        gi = g + i.astype(jnp.float32) * 1e-9
+        out = scatter_rows(gi, idx, N)
+        return acc + jnp.sum(out[:, 0]), None
+
+    acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(R))
+    return acc
+
+
 def main():
     rng = np.random.default_rng(0)
     cases = [
@@ -99,9 +113,11 @@ def main():
         tm = timed(lambda: run_matmul(idx, g, N)) / R * 1e3
         tm32 = timed(lambda: run_matmul(idx, g, N, mode="fp32")) / R * 1e3
         th = timed(lambda: run_matmul(idx, g, N, mode="high")) / R * 1e3
+        tp = timed(lambda: run_pallas(idx, g, N)) / R * 1e3
         print(
             f"{name:38s} scatter {ts:7.2f} ms | mm-bf16 {tm:6.2f} ms "
-            f"({ts / tm:4.1f}x) | mm-fp32 {tm32:6.2f} ms | mm-high {th:6.2f} ms",
+            f"({ts / tm:4.1f}x) | mm-fp32 {tm32:6.2f} ms | mm-high {th:6.2f} ms"
+            f" | pallas {tp:6.2f} ms ({th / tp:4.1f}x vs high)",
             flush=True,
         )
 

@@ -119,6 +119,26 @@ def test_lineage_votes_candidates():
     np.testing.assert_array_equal(votes[2, 1:], 0)
 
 
+def test_lineage_votes_fourth_box_overwrites_slot3():
+    """Lineage sunrgbd_data.py clamps point_vote_idx at 2: a 4th containing
+    box OVERWRITES candidate slot 3 (index 2), it is not skipped (ADVICE
+    r3 low #2). p0 sits inside four nested boxes."""
+    bbox = np.array(
+        [[0.0, 0, 0, 8, 8, 8, 0.0, 0],
+         [0.1, 0, 0, 8, 8, 8, 0.0, 1],
+         [0.2, 0, 0, 8, 8, 8, 0.0, 2],
+         [0.3, 0, 0, 8, 8, 8, 0.0, 3]],
+        np.float32,
+    )
+    pts = np.array([[0.0, 0.0, 0.0]])
+    votes = lineage_votes(pts, bbox)
+    assert votes[0, 0] == 1.0
+    np.testing.assert_allclose(votes[0, 1:4], bbox[0, :3], atol=1e-6)
+    np.testing.assert_allclose(votes[0, 4:7], bbox[1, :3], atol=1e-6)
+    # slot 3 holds the FOURTH box's offset (overwrote the third)
+    np.testing.assert_allclose(votes[0, 7:10], bbox[3, :3], atol=1e-6)
+
+
 def _write_raw_tree(tmp_path, n_scenes=3):
     root = tmp_path / "data"
     k = np.array([[90.0, 0, 8.0], [0, 90.0, 6.0], [0, 0, 1.0]])

@@ -1,0 +1,72 @@
+"""apply_runtime_config must fully REVERT process-global state (ADVICE r3
+low #3): a second Config in the same process — the bench-comparing-configs
+scenario the function was added for — must not inherit the previous run's
+sorted mode / pallas tier / fp32 precision."""
+
+import jax
+import pytest
+
+from tpu3dsad import ops, train_lib
+from tpu3dsad.config import Config, apply_overrides
+
+
+@pytest.fixture(autouse=True)
+def _restore_globals():
+    impl, fast, mode = (
+        ops.get_default_impl(),
+        ops.get_fast_grouping(),
+        ops.get_fast_mode(),
+    )
+    prec = jax.config.jax_default_matmul_precision
+    yield
+    ops.set_default_impl(impl)
+    ops.set_fast_grouping(fast)
+    ops.set_fast_mode(mode)
+    jax.config.update("jax_default_matmul_precision", prec or "default")
+
+
+def test_second_config_reverts_first(monkeypatch):
+    monkeypatch.delenv("TPU3DSAD_OPS_IMPL", raising=False)
+    monkeypatch.delenv("TPU3DSAD_FAST_MODE", raising=False)
+    exotic = apply_overrides(
+        Config(),
+        ["ops_impl=pallas", "ops_fast_mode=sorted", "ops_fast_grouping=false",
+         "train.bf16_matmul=false"],
+    )
+    train_lib.apply_runtime_config(exotic)
+    assert ops.get_default_impl() == "pallas"
+    assert ops.get_fast_mode() == "sorted"
+    assert not ops.get_fast_grouping()
+    assert jax.config.jax_default_matmul_precision == "highest"
+
+    train_lib.apply_runtime_config(Config())  # plain defaults
+    assert ops.get_default_impl() == "xla"
+    assert ops.get_fast_mode() == "approx"
+    assert ops.get_fast_grouping()
+    assert jax.config.jax_default_matmul_precision == "default"
+
+
+def test_train_meta_resume_warning(tmp_path):
+    """ADVICE r3 low #4: resuming under a steps_per_call that changes
+    steps_per_epoch must warn; same value must not."""
+    d = str(tmp_path / "ckpt")
+    assert train_lib.check_and_record_train_meta(d, 96, 16, resumed=False) is None
+    # same rounding on resume: silent
+    assert train_lib.check_and_record_train_meta(d, 96, 16, resumed=True) is None
+    # different rounding on resume: warn, and the new value is recorded
+    w = train_lib.check_and_record_train_meta(d, 100, 1, resumed=True)
+    assert w and "96" in w and "100" in w
+    assert train_lib.check_and_record_train_meta(d, 100, 1, resumed=True) is None
+
+
+def test_env_var_precedence(monkeypatch):
+    monkeypatch.setenv("TPU3DSAD_OPS_IMPL", "pallas")
+    # cfg default ('xla' == unspecified): the env default wins
+    train_lib.apply_runtime_config(Config())
+    assert ops.get_default_impl() == "pallas"
+    # explicit non-default cfg value beats the env var
+    monkeypatch.setenv("TPU3DSAD_OPS_IMPL", "xla")
+    train_lib.apply_runtime_config(
+        apply_overrides(Config(), ["ops_impl=pallas"])
+    )
+    assert ops.get_default_impl() == "pallas"

@@ -1,0 +1,134 @@
+"""Foreground-biased proposal sampling (models/proposal.py::
+density_biased_fps, VERDICT r3 #4): density ranking must put proposals on
+vote clusters, ignore padded votes, and keep shapes static under jit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu3dsad.models.proposal import density_biased_fps
+
+
+def _scene(rng, n_bg=96, cluster_centers=((2.0, 2.0, 0.5), (-2.0, 1.0, 0.5)),
+           n_per_cluster=16, spread=0.1):
+    """Votes: tight clusters (object votes converged at centers) + diffuse
+    background votes spread over a 10m square."""
+    parts = [rng.uniform(-5, 5, (n_bg, 3)).astype(np.float32)]
+    for c in cluster_centers:
+        parts.append(
+            (np.asarray(c) + rng.normal(0, spread, (n_per_cluster, 3)))
+            .astype(np.float32)
+        )
+    return np.concatenate(parts)
+
+
+def test_proposals_land_on_clusters(rng):
+    votes = _scene(rng)
+    xyz = jnp.asarray(votes)[None]
+    P = 4
+    # factor=8 → 32 candidates = exactly the two clusters' votes (each has
+    # density ≥16 vs ~1-3 for diffuse background)
+    inds, cmask = jax.jit(
+        lambda x: density_biased_fps(x, P, radius=0.5, candidate_factor=8)
+    )(xyz)
+    assert inds.shape == (1, P) and cmask.shape == (1, P)
+    assert bool(cmask.all())
+    chosen = votes[np.asarray(inds)[0]]
+    centers = np.array([[2.0, 2.0, 0.5], [-2.0, 1.0, 0.5]])
+    d = np.linalg.norm(chosen[:, None] - centers[None], axis=-1).min(axis=1)
+    # every proposal comes from the dense-candidate set → inside a cluster
+    assert d.max() < 0.5, chosen
+    # FPS among candidates still spreads: both clusters represented
+    near_each = np.linalg.norm(
+        chosen[:, None] - centers[None], axis=-1
+    ).argmin(axis=1)
+    assert set(near_each.tolist()) == {0, 1}
+
+
+def test_plain_fps_misses_what_density_hits(rng):
+    """The motivating failure: plain FPS spreads over background; density
+    sampling concentrates on the clusters."""
+    from tpu3dsad import ops
+
+    votes = _scene(rng, n_bg=480, n_per_cluster=16)
+    xyz = jnp.asarray(votes)[None]
+    P = 8
+    plain = ops.gather(xyz, ops.furthest_point_sample(xyz, P))[0]
+    dens, _ = density_biased_fps(xyz, P, radius=0.5, candidate_factor=1)
+    dens_xyz = votes[np.asarray(dens)[0]]
+    centers = np.array([[2.0, 2.0, 0.5], [-2.0, 1.0, 0.5]])
+
+    def near_frac(pts):
+        d = np.linalg.norm(
+            np.asarray(pts)[:, None] - centers[None], axis=-1
+        ).min(axis=1)
+        return float((d < 0.5).mean())
+
+    assert near_frac(dens_xyz) == 1.0
+    assert near_frac(plain) < 0.5  # FPS spent most proposals on background
+
+
+def test_masking_invariance(rng):
+    votes = _scene(rng, n_bg=64, n_per_cluster=8)
+    V = len(votes)
+    xyz = jnp.asarray(votes)[None]
+    mask = jnp.ones((1, V), bool)
+    pad = 64
+    xyz_p = jnp.concatenate(
+        [xyz, jnp.full((1, pad, 3), 37.0, jnp.float32)], axis=1
+    )
+    mask_p = jnp.concatenate([mask, jnp.zeros((1, pad), bool)], axis=1)
+    i0, m0 = density_biased_fps(xyz, 4, radius=0.5, vote_mask=mask)
+    i1, m1 = density_biased_fps(xyz_p, 4, radius=0.5, vote_mask=mask_p)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+
+
+def test_density_ties_pick_lower_index():
+    """Equal-density votes rank by lower index (repo-wide tie convention)."""
+    # 8 isolated votes, all density 1 (self only)
+    xyz = jnp.asarray(
+        np.arange(24, dtype=np.float32).reshape(1, 8, 3) * 10.0
+    )
+    inds, _ = density_biased_fps(xyz, 2, radius=0.1, candidate_factor=1)
+    # candidates = votes 0,1 (lowest indices); FPS seeds at candidate 0
+    assert int(np.asarray(inds)[0, 0]) == 0
+    assert int(np.asarray(inds)[0, 1]) == 1
+
+
+def test_detector_forward_with_density_sampling(rng):
+    """Model-level: the flagship compiles and runs with
+    model.proposal_sampling=density; proposal centers are votes."""
+    from tpu3dsad.config import Config, ModelConfig, apply_overrides
+    from tpu3dsad.models.detector import SizeAdaptiveDetector
+
+    cfg = apply_overrides(
+        Config(model=ModelConfig(
+            num_classes=4, sa_npoints=(64, 32, 16, 8),
+            sa_nsamples=(8, 8, 4, 4),
+            sa_channels=((16, 16), (16, 32), (16, 32), (16, 32)),
+            fp_channels=((32, 32), (32, 32)), seed_feat_dim=32,
+            num_proposals=8, cluster_nsample=4,
+        )),
+        ["model.proposal_sampling=density",
+         "model.proposal_density_radius=0.4"],
+    )
+    model = SizeAdaptiveDetector(cfg.model)
+    pts = jnp.asarray(rng.uniform(-3, 3, (2, 256, 3)).astype(np.float32))
+    mask = jnp.ones((2, 256), bool)
+    v = jax.jit(lambda k: model.init(k, pts, mask=mask, train=False))(
+        jax.random.key(0)
+    )
+    ep = jax.jit(lambda p, m: model.apply(v, p, mask=m, train=False))(
+        pts, mask
+    )
+    assert ep["proposal_xyz"].shape == (2, 8, 3)
+    # every proposal center is one of the votes
+    votes = np.asarray(ep["vote_xyz"])
+    props = np.asarray(ep["proposal_xyz"])
+    for b in range(2):
+        d = np.linalg.norm(
+            props[b][:, None] - votes[b][None], axis=-1
+        ).min(axis=1)
+        assert d.max() < 1e-5

@@ -115,23 +115,26 @@ def convert_box(basis: np.ndarray, coeffs: np.ndarray,
 def lineage_votes(points: np.ndarray, bbox: np.ndarray) -> np.ndarray:
     """[N, 10] mask + GT_VOTE_FACTOR candidate offsets: a point inside
     several boxes carries up to 3 distinct centers; unfilled candidate
-    slots repeat the first (lineage sunrgbd_data.py semantics)."""
+    slots repeat the first (lineage sunrgbd_data.py semantics). The
+    lineage clamps point_vote_idx at 2 (np.minimum(2, idx+1)), so a 4th+
+    containing box OVERWRITES slot 3 (index 2) rather than being skipped —
+    replicated here (ADVICE r3), pinned by
+    test_preproc_sunrgbd.py::test_lineage_votes_fourth_box_overwrites_slot3."""
     n = len(points)
     votes = np.zeros((n, 10), np.float32)
     filled = np.zeros(n, np.int64)
     for row in bbox:
         inside = points_in_oriented_box(points, row[:3], row[3:6], row[6])
-        inside &= filled < GT_VOTE_FACTOR
         if not inside.any():
             continue
         offset = row[:3] - points[inside]
-        slot = filled[inside]
+        slot = np.minimum(filled[inside], GT_VOTE_FACTOR - 1)
         votes[inside, 0] = 1.0
         flat = np.nonzero(inside)[0]
         for s in range(GT_VOTE_FACTOR):
             at = slot == s
             votes[flat[at], 1 + 3 * s : 4 + 3 * s] = offset[at]
-        filled[inside] += 1
+        filled[inside] = np.minimum(filled[inside] + 1, GT_VOTE_FACTOR)
     # repeat candidate 0 into empty slots (never all-zero candidates)
     one = filled == 1
     votes[one, 4:7] = votes[one, 7:10] = votes[one, 1:4]

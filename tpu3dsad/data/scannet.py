@@ -143,10 +143,16 @@ class ScanNetDetectionDataset:
                 vmask[pt_idx] = True
                 owner[pt_idx] = b
         if V > 1 and not self.cfg.data.compact_votes:
-            # lineage GT_VOTE_FACTOR>1: a voting point inside several GT
-            # boxes carries each box center as a candidate; the shared
-            # oriented-containment expansion (pipeline.candidate_votes)
-            # fills slots 1..V-1 with OTHER containing boxes.
+            # DELIBERATE DEVIATION from the lineage ScanNet dataset: upstream
+            # scannet_detection_dataset.py tiles three IDENTICAL copies of
+            # the primary vote (np.tile(point_votes, (1, 3))), which under
+            # the min-over-V vote loss is behaviorally identical to V=1 —
+            # set data.vote_candidates=1 to recover exact lineage semantics.
+            # Here slots 1..V-1 take DISTINCT other containing boxes via the
+            # shared oriented-containment expansion (pipeline.candidate_votes,
+            # the SUN RGB-D convention), measured mAP@0.5 0.162→0.269 on the
+            # 18-class leg (docs/experiments r3_18cls_votefactor3). Pinned by
+            # test_datasets.py::test_scannet_overlap_extra_candidate_is_other_box.
             from tpu3dsad.data.pipeline import candidate_votes
 
             votes = candidate_votes(

@@ -94,6 +94,9 @@ class SizeAdaptiveDetector(nn.Module):
                 num_proposals=c.num_proposals,
                 radius_bank=tuple(c.cluster_radius_bank),
                 nsample=c.cluster_nsample,
+                sampling=c.proposal_sampling,
+                density_radius=c.proposal_density_radius,
+                candidate_factor=c.proposal_candidate_factor,
                 name="proposal",
             )(vote_xyz, vote_feat, vote_mask=vote_mask, train=train,
               bn_momentum=bn_momentum)

@@ -28,6 +28,67 @@ from tpu3dsad.nn.mlp import SharedMLP
 from tpu3dsad.nn.norm import MaskedBatchNorm
 
 
+def density_biased_fps(vote_xyz, num_proposals: int, radius: float,
+                       vote_mask=None, candidate_factor: int = 4):
+    """Foreground-biased proposal sampling (VERDICT r3 #4, outdoor recipe).
+
+    Plain FPS over votes spreads proposals uniformly — in sparse outdoor
+    clouds ~95% of votes sit on background (they never moved off their
+    seed), so most proposals land on empty road and positives are rare
+    (pos_ratio ~2%, docs/experiments r3_outdoor rows). Votes from object
+    surfaces CONVERGE near object centers, so local vote density separates
+    foreground from background. This keeps shapes static:
+
+      1. density[b,v] = #valid votes within `radius` of vote v  (one
+         [V,V] fp32 pairwise — V≈1024, trivial),
+      2. top C = num_proposals·candidate_factor votes by density (ties →
+         lower index, matching every other selection op in the repo),
+      3. exact FPS among those C candidates for spatial spread.
+
+    Returns (inds [B,P] into the ORIGINAL vote set, center_mask [B,P]).
+    With candidate_factor large enough that C == V this degrades to plain
+    FPS over a density-reordered view (same point set).
+    """
+    from tpu3dsad.ops.xla.common import pairwise_sqdist
+
+    B, V, _ = vote_xyz.shape
+    C = min(V, num_proposals * candidate_factor)
+    valid = (
+        jnp.ones((B, V), bool) if vote_mask is None else vote_mask
+    )
+    d2 = pairwise_sqdist(vote_xyz, vote_xyz, exact=True)  # [B,V,V]
+    inside = (d2 <= jnp.float32(radius) ** 2) & valid[:, None, :]
+    density = jnp.sum(inside, axis=-1).astype(jnp.int32)  # [B,V]
+    density = jnp.where(valid, density, -1)  # pad votes never rank
+    # ties → lower index: top_k on (density, -index) packed into one int
+    packed = density * V - jnp.arange(V, dtype=jnp.int32)[None, :]
+    _, cand = jax.lax.top_k(packed, C)  # [B,C] vote indices
+    cand_xyz = ops.gather(vote_xyz, cand)
+    cand_mask = jnp.take_along_axis(valid, cand, axis=1)
+    sub = ops.furthest_point_sample(cand_xyz, num_proposals, mask=cand_mask)
+    inds = jnp.take_along_axis(cand, sub, axis=1)  # back to vote indices
+    center_mask = jnp.take_along_axis(valid, inds, axis=1)
+    return inds, center_mask
+
+
+def _sample_proposal_centers(vote_xyz, num_proposals, vote_mask, *,
+                             sampling: str, density_radius: float,
+                             candidate_factor: int):
+    """Shared proposal-center selection for both proposal heads."""
+    if sampling == "density":
+        return density_biased_fps(
+            vote_xyz, num_proposals, density_radius,
+            vote_mask=vote_mask, candidate_factor=candidate_factor,
+        )
+    inds = ops.furthest_point_sample(vote_xyz, num_proposals, mask=vote_mask)
+    center_mask = (
+        jnp.ones(inds.shape, bool)
+        if vote_mask is None
+        else jnp.take_along_axis(vote_mask, inds, axis=1)
+    )
+    return inds, center_mask
+
+
 class SizeAdaptiveProposal(nn.Module):
     num_classes: int
     num_heading_bins: int = 12
@@ -35,6 +96,10 @@ class SizeAdaptiveProposal(nn.Module):
     radius_bank: Sequence[float] = (0.15, 0.3, 0.6)
     nsample: int = 16
     feat_dim: int = 128
+    # 'fps' (lineage) | 'density' (foreground-biased, outdoor preset)
+    sampling: str = "fps"
+    density_radius: float = 0.3
+    candidate_factor: int = 4
 
     @nn.compact
     def __call__(self, vote_xyz, vote_features, *, vote_mask=None,
@@ -44,13 +109,12 @@ class SizeAdaptiveProposal(nn.Module):
         R = len(self.radius_bank)
         NH, NS = self.num_heading_bins, self.num_classes
 
-        inds = ops.furthest_point_sample(vote_xyz, P, mask=vote_mask)
-        centers = ops.gather(vote_xyz, inds)  # [B, P, 3]
-        center_mask = (
-            jnp.ones(inds.shape, bool)
-            if vote_mask is None
-            else jnp.take_along_axis(vote_mask, inds, axis=1)
+        inds, center_mask = _sample_proposal_centers(
+            vote_xyz, P, vote_mask, sampling=self.sampling,
+            density_radius=self.density_radius,
+            candidate_factor=self.candidate_factor,
         )
+        centers = ops.gather(vote_xyz, inds)  # [B, P, 3]
 
         # --- size-adaptive grouping: one grouped MLP per bank radius
         scale_feats = []

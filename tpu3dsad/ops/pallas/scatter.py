@@ -1,0 +1,155 @@
+"""Pallas scatter-rows kernel: the gather/group VJP sums with one-hot tiles
+built in VMEM.
+
+Computes ``out[b, n, c] = Σ_u [idx[b,u] == n] · g[b,u,c]`` — the
+gather_points_grad / group_points_grad reduction (lineage
+pointnet2/_ext_src/src/sampling_gpu.cu / group_points_gpu.cu; the snapshot
+itself is /root/reference/README.md:1-2). The pure-XLA one-hot matmul
+(ops/xla/group.py::_scatter_rows) bottoms out at a flat ~4.2 ms because XLA
+materializes the one-hot tiles through HBM (docs/kernel_notes.md note (e));
+here each [Ut, Nt] one-hot tile is an iota-compare in VMEM feeding the MXU
+directly, so the only HBM traffic is g in + out once per n-tile.
+
+Precision: the one-hot operand is EXACT in bf16 (entries are 0/1), so
+``Precision.HIGH`` (bf16_3x) reproduces full-fp32 products: decomposing
+g = g_hi + g_lo, the cross terms oh·g_hi + oh·g_lo are exact and the
+dropped lo·lo term is zero because oh_lo == 0. Pinned explicitly (NOT
+inherited) so the fp32-parity mode's global HIGHEST override cannot change
+the lowering (CLAUDE.md invariant).
+
+Two layouts, selected by C:
+- **C-on-lanes** (C ≥ _MIN_C_LANES): out tile [Nt, C]; dot is
+  oh[Ut,Nt]ᵀ·g[Ut,C] contracting the u-tile. Lane padding of C to 128 is
+  amortized by real channels.
+- **N-on-lanes** (small C, e.g. xyz grads C=3): padding C to 128 lanes
+  would multiply MXU work ~40×, so instead g rides TRANSPOSED [C, U] with
+  C on sublanes (pad to 8) and the dot is gᵀ[C,Ut]·oh[Ut,Nt] → out [C, Nt].
+
+Grid is (B, n-tiles, u-tiles) with u innermost: the out block revisits are
+consecutive, so accumulation across u-tiles stays in VMEM (zeroed at u==0).
+Summation order across u-tiles differs from the XLA scatter — like the
+lineage's nondeterministic atomicAdd, no bitwise anchor exists; tests pin
+rtol vs the numpy oracle (tests/ops/test_pallas_scatter.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_UT = 512  # u-tile (contraction) size
+_NT = 512  # n-tile size
+_MIN_C_LANES = 48  # below this, lane-padding C wastes the MXU → N-on-lanes
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel_c_lanes(idx_ref, g_ref, out_ref, *, nt: int, ut: int):
+    u = pl.program_id(2)
+
+    @pl.when(u == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    n0 = pl.program_id(1) * nt
+    idx = idx_ref[0]  # [Ut] int32
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ut, nt), 1) + n0
+    oh = (idx[:, None] == cols).astype(jnp.float32)
+    out_ref[0] += jax.lax.dot_general(
+        oh,
+        g_ref[0],
+        (((0,), (0,)), ((), ())),  # contract the u-tile
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH,
+    )
+
+
+def _kernel_n_lanes(idx_ref, gt_ref, out_ref, *, nt: int, ut: int):
+    u = pl.program_id(2)
+
+    @pl.when(u == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    n0 = pl.program_id(1) * nt
+    idx = idx_ref[0]  # [Ut] int32
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ut, nt), 1) + n0
+    oh = (idx[:, None] == cols).astype(jnp.float32)
+    out_ref[0] += jax.lax.dot_general(
+        gt_ref[0],
+        oh,
+        (((1,), (0,)), ((), ())),  # contract the u-tile
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def scatter_rows(g: jnp.ndarray, idx: jnp.ndarray, n: int,
+                 interpret: bool = False) -> jnp.ndarray:
+    """g [B,U,C] float, idx [B,U] int32 (values in [0,n)) → [B,n,C] fp32.
+
+    Pad u-slots must carry a valid index (the ball-query pad-with-first-hit
+    convention) or -1 / >=n, which contribute nothing.
+    """
+    B, U, C = g.shape
+    g = g.astype(jnp.float32)
+    idx = idx.astype(jnp.int32)
+
+    ut = min(_UT, _round_up(U, 8))
+    nt = min(_NT, _round_up(n, 128))
+    u_pad = _round_up(U, ut)
+    n_pad = _round_up(n, nt)
+    if u_pad != U:
+        # -1 never matches a col ⇒ padded slots add nothing
+        idx = jnp.pad(idx, ((0, 0), (0, u_pad - U)), constant_values=-1)
+        g = jnp.pad(g, ((0, 0), (0, u_pad - U), (0, 0)))
+
+    grid = (B, n_pad // nt, u_pad // ut)
+
+    if C >= _MIN_C_LANES:
+        c_pad = _round_up(C, 128)
+        if c_pad != C:
+            g = jnp.pad(g, ((0, 0), (0, 0), (0, c_pad - C)))
+        out = pl.pallas_call(
+            functools.partial(_kernel_c_lanes, nt=nt, ut=ut),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, ut), lambda b, i, u: (b, u),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ut, c_pad), lambda b, i, u: (b, u, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, nt, c_pad), lambda b, i, u: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, n_pad, c_pad), jnp.float32),
+            interpret=interpret,
+        )(idx, g)
+        return out[:, :n, :C]
+
+    # small C: g transposed so N rides the lanes
+    c_pad = _round_up(C, 8)
+    gt = jnp.swapaxes(g, 1, 2)  # [B, C, U]
+    if c_pad != C:
+        gt = jnp.pad(gt, ((0, 0), (0, c_pad - C), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_kernel_n_lanes, nt=nt, ut=ut),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ut), lambda b, i, u: (b, u),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_pad, ut), lambda b, i, u: (b, 0, u),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c_pad, nt), lambda b, i, u: (b, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, c_pad, n_pad), jnp.float32),
+        interpret=interpret,
+    )(idx, gt)
+    return jnp.swapaxes(out[:, :C, :n], 1, 2)

@@ -39,26 +39,38 @@ from tpu3dsad.ops.xla.ball_query import ball_query
 _ONEHOT_TILE_N = 4096
 
 
-def _use_scatter() -> bool:
-    """The one-hot matmul is a TPU decision (XLA scatter serializes per
-    row there); on CPU/GPU native scatter is efficient and the matmul form
-    is strictly more FLOPs (O(U·N·C) vs O(U·C)) — CI on CPU measurably
-    slows with it. Env override: TPU3DSAD_SCATTER_VJP=1 forces scatter
-    everywhere, =0 forces the matmul (parity/debug)."""
+def _scatter_mode() -> str:
+    """'scatter' | 'matmul' | 'pallas'. The one-hot matmul is a TPU
+    decision (XLA scatter serializes per row there); on CPU/GPU native
+    scatter is efficient and the matmul form is strictly more FLOPs
+    (O(U·N·C) vs O(U·C)) — CI on CPU measurably slows with it. 'pallas'
+    (ops/pallas/scatter.py) builds the one-hot tiles in VMEM instead of
+    round-tripping them through HBM (kernel_notes note (e)); it needs a
+    real TPU (no interpret dispatch here — CPU falls back to scatter).
+    Env override: TPU3DSAD_SCATTER_VJP=1 forces scatter everywhere,
+    =0 the matmul, =pallas the kernel."""
     env = os.environ.get("TPU3DSAD_SCATTER_VJP")
     if env == "1":
-        return True
+        return "scatter"
     if env == "0":
-        return False
-    return jax.default_backend() == "cpu"
+        return "matmul"
+    on_cpu = jax.default_backend() == "cpu"
+    if env == "pallas":
+        return "scatter" if on_cpu else "pallas"
+    return "scatter" if on_cpu else "matmul"
 
 
 def _scatter_rows(g: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
     """sum_u [idx[b,u]==j] * g[b,u,c] -> [B,n,C] (the gather-VJP sums)."""
-    if _use_scatter():
+    mode = _scatter_mode()
+    if mode == "scatter":
         return jnp.zeros((g.shape[0], n, g.shape[-1]), jnp.float32).at[
             jnp.arange(g.shape[0])[:, None], idx
         ].add(g.astype(jnp.float32))
+    if mode == "pallas":
+        from tpu3dsad.ops.pallas.scatter import scatter_rows
+
+        return scatter_rows(g, idx, n)
     g32 = g.astype(jnp.float32)
     outs = []
     for t0 in range(0, n, _ONEHOT_TILE_N):

@@ -88,6 +88,11 @@ def run_detector(cfg: Config):
     state, start_step = train_lib.restore_checkpoint(cfg.train.ckpt_dir, state)
     if start_step:
         print(f"resumed from step {start_step}", file=sys.stderr)
+    warning = train_lib.check_and_record_train_meta(
+        cfg.train.ckpt_dir, steps_per_epoch, k, resumed=bool(start_step)
+    )
+    if warning:
+        print(warning, file=sys.stderr)
 
     train_step, eval_step = train_lib.make_detector_steps(
         model, cfg,

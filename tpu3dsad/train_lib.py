@@ -30,17 +30,57 @@ def apply_runtime_config(cfg: Config) -> None:
     run_classifier/evaluate so library callers (benches, notebooks) get the
     configured tiers too — bypassing this silently ran the 11x-slower XLA
     FPS/grouping tier in a throughput harness (round-3 session note).
-    Idempotent. cfg.ops_impl='xla' (the dataclass default) does not
-    override a TPU3DSAD_OPS_IMPL env default."""
+    Idempotent AND fully reverting: every knob is set unconditionally from
+    cfg so a second Config in the same process (benches comparing configs)
+    never inherits the previous run's sorted mode / pallas tier / fp32
+    precision (ADVICE r3). Env-var precedence is explicit: a set
+    TPU3DSAD_OPS_IMPL wins over cfg.ops_impl='xla' (the dataclass default,
+    i.e. "unspecified") but loses to any explicit non-default cfg value."""
     from tpu3dsad import ops
 
     if cfg.ops_impl != "xla":
         ops.set_default_impl(cfg.ops_impl)
+    else:
+        ops.set_default_impl(os.environ.get("TPU3DSAD_OPS_IMPL", "xla"))
     ops.set_fast_grouping(cfg.ops_fast_grouping)
     if cfg.ops_fast_mode != "approx":
         ops.set_fast_mode(cfg.ops_fast_mode)
-    if not cfg.train.bf16_matmul:
-        jax.config.update("jax_default_matmul_precision", "highest")
+    else:  # same rule for TPU3DSAD_FAST_MODE (bench/debug toggle)
+        ops.set_fast_mode(os.environ.get("TPU3DSAD_FAST_MODE", "approx"))
+    jax.config.update(
+        "jax_default_matmul_precision",
+        "default" if cfg.train.bf16_matmul else "highest",
+    )
+
+
+def check_and_record_train_meta(ckpt_dir: str, steps_per_epoch: int,
+                                steps_per_call: int, *,
+                                resumed: bool) -> str | None:
+    """Record steps_per_epoch in <ckpt_dir>/train_meta.json; on resume,
+    return a warning string if the checkpointed run used a different value
+    — resuming under a steps_per_call whose rounding changes steps_per_epoch
+    remaps epoch boundaries (start_step // steps_per_epoch) and shifts the
+    lr-decay/BN-momentum schedules (ADVICE r3)."""
+    import json
+
+    path = os.path.join(os.path.abspath(ckpt_dir), "train_meta.json")
+    warning = None
+    if resumed and os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f).get("steps_per_epoch")
+        if prev is not None and prev != steps_per_epoch:
+            warning = (
+                f"WARNING: resuming with steps_per_epoch={steps_per_epoch} "
+                f"(train.steps_per_call={steps_per_call}) but the "
+                f"checkpointed run used {prev} — epoch boundaries and the "
+                "lr-decay/BN-momentum schedules will shift; use the original "
+                "steps_per_call to preserve them"
+            )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"steps_per_epoch": steps_per_epoch,
+                   "steps_per_call": steps_per_call}, f)
+    return warning
 
 
 def lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
