@@ -33,8 +33,12 @@ def _backend_ready(attempts=3, backoff_s=60, probe_timeout=240, _probe=None):
     a probe sees a device; False after the final failed attempt.
 
     ``_probe`` is injectable for the simulated-failure unit test
-    (tests/e2e/test_bench_retry.py).
+    (tests/e2e/test_bench_retry.py). A success is memoized so
+    bench_config(5) → main() doesn't pay two remote backend inits.
     """
+    global _BACKEND_OK
+    if _BACKEND_OK and _probe is None:
+        return True
     import subprocess
 
     if _probe is None:
@@ -56,6 +60,7 @@ def _backend_ready(attempts=3, backoff_s=60, probe_timeout=240, _probe=None):
                         f"[bench] backend recovered on attempt {i + 1}",
                         file=sys.stderr,
                     )
+                _BACKEND_OK = True
                 return True
         except Exception:
             pass
@@ -69,14 +74,17 @@ def _backend_ready(attempts=3, backoff_s=60, probe_timeout=240, _probe=None):
     return False
 
 
-def _require_backend():
+_BACKEND_OK = False
+
+
+def _require_backend(metric: str = "scenes/sec/chip"):
     """Gate every device-touching bench entry behind the retry probe."""
     if _backend_ready():
         return
     print(
         json.dumps(
             {
-                "metric": "scenes/sec/chip",
+                "metric": metric,
                 "value": None,
                 "unit": "scenes/sec",
                 "vs_baseline": None,
@@ -241,7 +249,7 @@ def bench_config(n: int):
     for the per-config table in PARITY.md.
     """
     if n != 1:  # config #1 pins the CPU backend — no tunnel involved
-        _require_backend()
+        _require_backend(metric=f"config{n}")
     import jax
     import jax.numpy as jnp
 

@@ -6,21 +6,22 @@
 #   2. sorted-vs-approx grouping kernel table
 #   3. scatter-VJP table incl. the NEW pallas one-hot-tiles kernel (#5)
 #   4. R=32 train decomposition (feeds the config-3 roofline paragraph, #7)
-set -u
+# Steps report failures and keep going — one bad step must not cost the
+# rest of a scarce tunnel session.
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 log() { echo "=== $* ==="; }
+step() { log "$1"; shift; "$@" || log "STEP_FAILED($?)"; }
+
 log probe
 timeout 180 python -u -c "import jax; print(jax.devices())" || { echo TUNNEL_DOWN; exit 3; }
-log headline approx
-timeout 1800 python -u bench.py
-log headline approx rerun
-timeout 1200 python -u bench.py
-log headline sorted
-TPU3DSAD_FAST_MODE=sorted timeout 1800 python -u bench.py
-log sorted_grouping R=8
-timeout 1800 python -u bench/bench_sorted_grouping.py
-log scatter_vjp R=64 (incl. pallas kernel)
-TPU3DSAD_BENCH_R=64 timeout 1800 python -u bench/bench_scatter_vjp.py
-log train_decompose R=32
-TPU3DSAD_BENCH_R=32 timeout 1800 python -u bench/bench_train_decompose.py
+
+step "headline approx"        timeout 1800 python -u bench.py
+step "headline approx rerun"  timeout 1200 python -u bench.py
+step "headline sorted"        env TPU3DSAD_FAST_MODE=sorted timeout 1800 python -u bench.py
+step "sorted_grouping R=8"    timeout 1800 python -u bench/bench_sorted_grouping.py
+step "scatter_vjp R=64 incl. pallas" \
+    env TPU3DSAD_BENCH_R=64 timeout 1800 python -u bench/bench_scatter_vjp.py
+step "train_decompose R=32" \
+    env TPU3DSAD_BENCH_R=32 timeout 1800 python -u bench/bench_train_decompose.py
 log DONE

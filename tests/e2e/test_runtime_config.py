@@ -53,10 +53,14 @@ def test_train_meta_resume_warning(tmp_path):
     assert train_lib.check_and_record_train_meta(d, 96, 16, resumed=False) is None
     # same rounding on resume: silent
     assert train_lib.check_and_record_train_meta(d, 96, 16, resumed=True) is None
-    # different rounding on resume: warn, and the new value is recorded
+    # different rounding on resume: warn — and the ORIGINAL baseline stays
+    # on disk, so the mismatch keeps warning instead of inverting
     w = train_lib.check_and_record_train_meta(d, 100, 1, resumed=True)
     assert w and "96" in w and "100" in w
-    assert train_lib.check_and_record_train_meta(d, 100, 1, resumed=True) is None
+    w2 = train_lib.check_and_record_train_meta(d, 100, 1, resumed=True)
+    assert w2 and "96" in w2
+    # going back to the original steps_per_call: silent again
+    assert train_lib.check_and_record_train_meta(d, 96, 16, resumed=True) is None
 
 
 def test_env_var_precedence(monkeypatch):

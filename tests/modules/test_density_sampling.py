@@ -97,6 +97,19 @@ def test_density_ties_pick_lower_index():
     assert int(np.asarray(inds)[0, 1]) == 1
 
 
+def test_unknown_sampling_mode_raises(rng):
+    """A typo'd model.proposal_sampling must fail loudly, not silently
+    measure the FPS baseline (the repo's silent-deviation rule)."""
+    from tpu3dsad.models.proposal import _sample_proposal_centers
+
+    xyz = jnp.asarray(rng.uniform(-1, 1, (1, 32, 3)).astype(np.float32))
+    with pytest.raises(ValueError, match="proposal_sampling"):
+        _sample_proposal_centers(
+            xyz, 4, None, sampling="densty", density_radius=0.3,
+            candidate_factor=2,
+        )
+
+
 def test_detector_forward_with_density_sampling(rng):
     """Model-level: the flagship compiles and runs with
     model.proposal_sampling=density; proposal centers are votes."""

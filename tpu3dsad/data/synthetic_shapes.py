@@ -215,14 +215,17 @@ def generate(out: str, per_class: int = 64, test_per_class: int = 16,
              seed: int = 0) -> dict:
     counts = {"train": 0, "test": 0}
     for ci, fam in enumerate(SHAPE_CLASSES):
-        for split, n in (("train", per_class), ("test", test_per_class)):
+        for si, (split, n) in enumerate(
+            (("train", per_class), ("test", test_per_class))
+        ):
             d = os.path.join(out, fam, split)
             os.makedirs(d, exist_ok=True)
             for i in range(n):
-                rng = np.random.default_rng(
-                    seed * 1_000_003 + ci * 10_007
-                    + (0 if split == "train" else 5_000) + i
-                )
+                # tuple seeding → SeedSequence entropy mixing: no stream
+                # collisions between splits/classes at ANY per_class (an
+                # arithmetic scheme leaked identical meshes into train and
+                # test once per_class exceeded the split offset)
+                rng = np.random.default_rng((seed, ci, si, i))
                 v, f = make_shape(fam, rng)
                 write_off(os.path.join(d, f"{fam}_{i:04d}.off"), v, f)
                 counts[split] += 1

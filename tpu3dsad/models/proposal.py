@@ -49,14 +49,18 @@ def density_biased_fps(vote_xyz, num_proposals: int, radius: float,
     With candidate_factor large enough that C == V this degrades to plain
     FPS over a density-reordered view (same point set).
     """
-    from tpu3dsad.ops.xla.common import pairwise_sqdist
-
     B, V, _ = vote_xyz.shape
     C = min(V, num_proposals * candidate_factor)
     valid = (
         jnp.ones((B, V), bool) if vote_mask is None else vote_mask
     )
-    d2 = pairwise_sqdist(vote_xyz, vote_xyz, exact=True)  # [B,V,V]
+    # elementwise dx²+dy²+dz², NOT the MXU |a|²+|b|²−2a·b expansion —
+    # cancellation in the expanded form flips radius-boundary membership
+    # (CLAUDE.md invariant; same rule as ops/xla/ball_query.py), which
+    # would perturb density counts and hence proposal selection
+    x = vote_xyz.astype(jnp.float32)
+    diff = x[:, :, None, :] - x[:, None, :, :]  # [B,V,V,3]
+    d2 = jnp.sum(diff * diff, axis=-1)
     inside = (d2 <= jnp.float32(radius) ** 2) & valid[:, None, :]
     density = jnp.sum(inside, axis=-1).astype(jnp.int32)  # [B,V]
     density = jnp.where(valid, density, -1)  # pad votes never rank
@@ -79,6 +83,13 @@ def _sample_proposal_centers(vote_xyz, num_proposals, vote_mask, *,
         return density_biased_fps(
             vote_xyz, num_proposals, density_radius,
             vote_mask=vote_mask, candidate_factor=candidate_factor,
+        )
+    if sampling != "fps":
+        # a typo'd CLI value silently measuring the FPS baseline is exactly
+        # the silent-deviation failure mode CLAUDE.md forbids
+        raise ValueError(
+            f"model.proposal_sampling={sampling!r}: expected 'fps' or "
+            "'density'"
         )
     inds = ops.furthest_point_sample(vote_xyz, num_proposals, mask=vote_mask)
     center_mask = (

@@ -102,7 +102,10 @@ def scatter_rows(g: jnp.ndarray, idx: jnp.ndarray, n: int,
     g = g.astype(jnp.float32)
     idx = idx.astype(jnp.int32)
 
-    ut = min(_UT, _round_up(U, 8))
+    # ut rides the LANE dim of the idx block (1, ut) and of the transposed
+    # g block (1, c_pad, ut) in the N-lanes layout — keep it 128-aligned
+    # (interpret mode would not catch a Mosaic lane-alignment failure)
+    ut = min(_UT, _round_up(U, 128))
     nt = min(_NT, _round_up(n, 128))
     u_pad = _round_up(U, ut)
     n_pad = _round_up(n, nt)

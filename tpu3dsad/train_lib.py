@@ -76,6 +76,10 @@ def check_and_record_train_meta(ckpt_dir: str, steps_per_epoch: int,
                 "lr-decay/BN-momentum schedules will shift; use the original "
                 "steps_per_call to preserve them"
             )
+            # keep the ORIGINAL baseline on disk: overwriting it with the
+            # mismatched value would invert the warning on the next resume
+            # and lose the schedule the checkpoint was trained under
+            return warning
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump({"steps_per_epoch": steps_per_epoch,
