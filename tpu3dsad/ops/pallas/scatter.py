@@ -41,7 +41,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_UT = 512  # u-tile (contraction) size
+_UT = 512  # u-tile (contraction) size, C-on-lanes layout
+_UT_NARROW = 2048  # u-tile for N-on-lanes: the per-step dot is tiny there
+#                    (C≤8 sublanes), so grid overhead dominates unless the
+#                    u-tile is large; oh [2048, 512] fp32 = 4MB VMEM
 _NT = 512  # n-tile size
 _MIN_C_LANES = 48  # below this, lane-padding C wastes the MXU → N-on-lanes
 
@@ -105,7 +108,8 @@ def scatter_rows(g: jnp.ndarray, idx: jnp.ndarray, n: int,
     # ut rides the LANE dim of the idx block (1, ut) and of the transposed
     # g block (1, c_pad, ut) in the N-lanes layout — keep it 128-aligned
     # (interpret mode would not catch a Mosaic lane-alignment failure)
-    ut = min(_UT, _round_up(U, 128))
+    ut_cap = _UT if C >= _MIN_C_LANES else _UT_NARROW
+    ut = min(ut_cap, _round_up(U, 128))
     nt = min(_NT, _round_up(n, 128))
     u_pad = _round_up(U, ut)
     n_pad = _round_up(n, nt)
