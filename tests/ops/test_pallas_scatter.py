@@ -77,6 +77,38 @@ def test_fp32_exactness_on_representable_sums():
     np.testing.assert_array_equal(out, _oracle(g, idx, 32))
 
 
+def test_vjp_integration_through_group(monkeypatch):
+    """The kernel wired as the ACTUAL group()/gather() backward: grads of a
+    grouped reduction must match the default path bitwise-to-rtol. CPU runs
+    interpret via force_tpu_interpret_mode; _scatter_mode is pinned to
+    'pallas' directly (the env route falls back to scatter on cpu)."""
+    import importlib
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    group_mod = importlib.import_module("tpu3dsad.ops.xla.group")
+    rng = np.random.default_rng(5)
+    pts = jnp.asarray(rng.standard_normal((2, 300, 7)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 300, (2, 32, 8)).astype(np.int32))
+
+    def loss(p):
+        g = group_mod.group(p, idx)  # [B,M,K,C]
+        return jnp.sum(jnp.tanh(g) * jnp.arange(1, 8, dtype=jnp.float32))
+
+    want = jax.grad(loss)(pts)  # default path (native scatter on cpu)
+
+    # clear the custom_vjp cache so the pinned mode is picked up
+    group_mod._make_take_rows.cache_clear()
+    monkeypatch.setattr(group_mod, "_scatter_mode", lambda: "pallas")
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.grad(loss)(pts)
+    finally:
+        group_mod._make_take_rows.cache_clear()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_scatter_mode_dispatch(monkeypatch):
     """TPU3DSAD_SCATTER_VJP=pallas routes the VJP through the kernel on
     non-cpu backends and falls back to native scatter on CPU."""
