@@ -63,6 +63,36 @@ def test_train_meta_resume_warning(tmp_path):
     assert train_lib.check_and_record_train_meta(d, 96, 16, resumed=True) is None
 
 
+def test_matmul_precision_env_precedence(monkeypatch):
+    """ADVICE r4: bf16_matmul=True (the dataclass default, 'unspecified')
+    must not stomp a user's global JAX_DEFAULT_MATMUL_PRECISION; an
+    explicit bf16_matmul=false still owns the global."""
+    monkeypatch.setenv("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+    train_lib.apply_runtime_config(Config())
+    assert jax.config.jax_default_matmul_precision == "highest"
+    # explicit fp32-parity request wins regardless of the env var
+    monkeypatch.setenv("JAX_DEFAULT_MATMUL_PRECISION", "default")
+    train_lib.apply_runtime_config(
+        apply_overrides(Config(), ["train.bf16_matmul=false"])
+    )
+    assert jax.config.jax_default_matmul_precision == "highest"
+    # no env var: the config default applies
+    monkeypatch.delenv("JAX_DEFAULT_MATMUL_PRECISION")
+    train_lib.apply_runtime_config(Config())
+    assert jax.config.jax_default_matmul_precision == "default"
+
+
+def test_round_steps_per_epoch():
+    """ADVICE r4: spe < k must clamp k (no epoch oversampling), not round
+    the epoch UP to k."""
+    assert train_lib.round_steps_per_epoch(100, 1) == (100, 1)
+    assert train_lib.round_steps_per_epoch(100, 16) == (96, 16)
+    assert train_lib.round_steps_per_epoch(96, 16) == (96, 16)
+    # tiny dataset, big k: k clamps to spe — epoch stays 5 steps
+    assert train_lib.round_steps_per_epoch(5, 16) == (5, 5)
+    assert train_lib.round_steps_per_epoch(1, 16) == (1, 1)
+
+
 def test_env_var_precedence(monkeypatch):
     monkeypatch.setenv("TPU3DSAD_OPS_IMPL", "pallas")
     # cfg default ('xla' == unspecified): the env default wins

@@ -109,6 +109,40 @@ def test_vjp_integration_through_group(monkeypatch):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_scatter_mode_flip_mid_process(monkeypatch):
+    """Flipping TPU3DSAD_SCATTER_VJP AFTER a first group() trace takes
+    effect at the next call — the mode is part of the _make_take_rows
+    cache key, not captured at trace time (ADVICE r4: the old trace-time
+    capture silently ignored env changes, so a bench comparing tiers in
+    one process measured one tier twice)."""
+    import importlib
+
+    group_mod = importlib.import_module("tpu3dsad.ops.xla.group")
+    rng = np.random.default_rng(7)
+    pts = jnp.asarray(rng.standard_normal((1, 64, 4)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 64, (1, 16)).astype(np.int32))
+
+    def gradfn(p):
+        return jax.grad(
+            lambda q: jnp.sum(group_mod.gather(q, idx) ** 2)
+        )(p)
+
+    seen = []
+    real = group_mod._scatter_rows
+
+    def spy(g, i, n, mode=None):
+        seen.append(mode)
+        return real(g, i, n, mode=mode)
+
+    monkeypatch.setattr(group_mod, "_scatter_rows", spy)
+    monkeypatch.setenv("TPU3DSAD_SCATTER_VJP", "1")
+    a = gradfn(pts)  # traces with mode='scatter'
+    monkeypatch.setenv("TPU3DSAD_SCATTER_VJP", "0")
+    b = gradfn(pts)  # must RE-trace with mode='matmul', no cache_clear
+    assert "scatter" in seen and "matmul" in seen, seen
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
 def test_scatter_mode_dispatch(monkeypatch):
     """TPU3DSAD_SCATTER_VJP=pallas routes the VJP through the kernel on
     non-cpu backends and falls back to native scatter on CPU."""

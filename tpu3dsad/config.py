@@ -140,7 +140,9 @@ class TrainConfig:
     # capacity (VERDICT r2). k>1 amortizes it to ~1/k per step. Blocks never
     # cross epoch boundaries: steps_per_epoch is rounded DOWN to a multiple
     # of k (no remainder single steps — scenes are sampled randomly, so
-    # epochs are step-count brackets, nothing is systematically skipped).
+    # epochs are step-count brackets, nothing is systematically skipped);
+    # k itself is clamped to steps_per_epoch, so a tiny dataset with a
+    # large k runs k=steps_per_epoch rather than oversampling (ADVICE r4).
     # Resuming a checkpoint under a k that changes the rounded
     # steps_per_epoch remaps epoch boundaries (lr-decay/BN schedules shift);
     # train_detector warns via <ckpt_dir>/train_meta.json.

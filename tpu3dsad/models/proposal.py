@@ -28,6 +28,47 @@ from tpu3dsad.nn.mlp import SharedMLP
 from tpu3dsad.nn.norm import MaskedBatchNorm
 
 
+def _vote_density(x, valid, r2):
+    """density[b,v] = #valid votes with d2 < r2 of vote v.
+
+    Boundary convention: STRICT ``d2 < r2``, matching the exact ball-query
+    tiers (ops/xla/ball_query.py:87) — r4's initial ``<=`` was unstated
+    drift from the repo-wide membership convention and is aligned here
+    (VERDICT r4 weak #6; no training rows depended on it). Each valid vote
+    always counts itself (d2 = 0), so valid densities are >= 1.
+
+    Blockwise (same discipline as ops/xla/knn.py's support slabs): the
+    pairwise work runs as a lax.scan over row slabs sized so the live
+    [B, slab, V, 3] difference tensor stays ~O(2^21) elements per batch
+    row — the full [B,V,V,3] never materializes, so the utility scales to
+    large vote counts (vote_factor growth, outdoor seed counts) instead
+    of being fenced to V~1024.
+    """
+    B, V, _ = x.shape
+
+    def counts(rows):  # rows [B,s,3] vs ALL votes
+        # elementwise dx²+dy²+dz², NOT the MXU |a|²+|b|²−2a·b expansion —
+        # cancellation in the expanded form flips radius-boundary
+        # membership (CLAUDE.md invariant; same rule as ball_query)
+        diff = rows[:, :, None, :] - x[:, None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        return jnp.sum(
+            (d2 < r2) & valid[:, None, :], axis=-1, dtype=jnp.int32
+        )
+
+    slab = min(V, max(64, (1 << 21) // V))
+    if slab >= V:
+        return counts(x)
+    nslab = -(-V // slab)
+    # pad rows with a far sentinel; the padded counts are sliced away
+    xp = jnp.pad(
+        x, ((0, 0), (0, nslab * slab - V), (0, 0)), constant_values=1e9
+    )
+    xs = xp.reshape(B, nslab, slab, 3).transpose(1, 0, 2, 3)
+    _, out = jax.lax.scan(lambda c, rows: (c, counts(rows)), None, xs)
+    return out.transpose(1, 0, 2).reshape(B, nslab * slab)[:, :V]
+
+
 def density_biased_fps(vote_xyz, num_proposals: int, radius: float,
                        vote_mask=None, candidate_factor: int = 4):
     """Foreground-biased proposal sampling (VERDICT r3 #4, outdoor recipe).
@@ -39,8 +80,8 @@ def density_biased_fps(vote_xyz, num_proposals: int, radius: float,
     surfaces CONVERGE near object centers, so local vote density separates
     foreground from background. This keeps shapes static:
 
-      1. density[b,v] = #valid votes within `radius` of vote v  (one
-         [V,V] fp32 pairwise — V≈1024, trivial),
+      1. density[b,v] = #valid votes with d2 < radius² of vote v
+         (blockwise pairwise counts — see _vote_density),
       2. top C = num_proposals·candidate_factor votes by density (ties →
          lower index, matching every other selection op in the repo),
       3. exact FPS among those C candidates for spatial spread.
@@ -54,19 +95,15 @@ def density_biased_fps(vote_xyz, num_proposals: int, radius: float,
     valid = (
         jnp.ones((B, V), bool) if vote_mask is None else vote_mask
     )
-    # elementwise dx²+dy²+dz², NOT the MXU |a|²+|b|²−2a·b expansion —
-    # cancellation in the expanded form flips radius-boundary membership
-    # (CLAUDE.md invariant; same rule as ops/xla/ball_query.py), which
-    # would perturb density counts and hence proposal selection
     x = vote_xyz.astype(jnp.float32)
-    diff = x[:, :, None, :] - x[:, None, :, :]  # [B,V,V,3]
-    d2 = jnp.sum(diff * diff, axis=-1)
-    inside = (d2 <= jnp.float32(radius) ** 2) & valid[:, None, :]
-    density = jnp.sum(inside, axis=-1).astype(jnp.int32)  # [B,V]
+    density = _vote_density(x, valid, jnp.float32(radius) ** 2)
     density = jnp.where(valid, density, -1)  # pad votes never rank
-    # ties → lower index: top_k on (density, -index) packed into one int
-    packed = density * V - jnp.arange(V, dtype=jnp.int32)[None, :]
-    _, cand = jax.lax.top_k(packed, C)  # [B,C] vote indices
+    # ties → lower index: stable argsort of -density (ascending) is
+    # exactly (density desc, index asc) — the packed-int top_k form it
+    # replaces overflowed int32 at V ≳ 46k (ADVICE r4); this is exact at
+    # any V. Pads (-density = 1) rank after every valid vote (>= 1).
+    order = jnp.argsort(-density, axis=1, stable=True)
+    cand = order[:, :C]  # [B,C] vote indices
     cand_xyz = ops.gather(vote_xyz, cand)
     cand_mask = jnp.take_along_axis(valid, cand, axis=1)
     sub = ops.furthest_point_sample(cand_xyz, num_proposals, mask=cand_mask)

@@ -60,9 +60,12 @@ def _scatter_mode() -> str:
     return "scatter" if on_cpu else "matmul"
 
 
-def _scatter_rows(g: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
+def _scatter_rows(
+    g: jnp.ndarray, idx: jnp.ndarray, n: int, mode: str | None = None
+) -> jnp.ndarray:
     """sum_u [idx[b,u]==j] * g[b,u,c] -> [B,n,C] (the gather-VJP sums)."""
-    mode = _scatter_mode()
+    if mode is None:
+        mode = _scatter_mode()
     if mode == "scatter":
         return jnp.zeros((g.shape[0], n, g.shape[-1]), jnp.float32).at[
             jnp.arange(g.shape[0])[:, None], idx
@@ -89,9 +92,14 @@ def _scatter_rows(g: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _make_take_rows(n: int, dtype_name: str):
-    """custom_vjp'd flat gather, parameterized by the STATIC source length
-    and dtype (custom_vjp residuals must be JAX types)."""
+def _make_take_rows(n: int, dtype_name: str, scatter_mode: str):
+    """custom_vjp'd flat gather, parameterized by the STATIC source length,
+    dtype (custom_vjp residuals must be JAX types), and the scatter-VJP
+    tier. The tier is part of the cache key so flipping
+    TPU3DSAD_SCATTER_VJP mid-process takes effect at the next call — the
+    mode used to be read at trace time inside the cached function, which
+    silently ignored env changes after the first group()/gather() trace
+    (ADVICE r4: a bench comparing tiers in one process measured one)."""
 
     @jax.custom_vjp
     def take(points, idx):
@@ -103,7 +111,11 @@ def _make_take_rows(n: int, dtype_name: str):
         return take(points, idx), idx
 
     def bwd(idx, g):
-        return _scatter_rows(g, idx.astype(jnp.int32), n).astype(dtype_name), None
+        return (
+            _scatter_rows(g, idx.astype(jnp.int32), n, mode=scatter_mode)
+            .astype(dtype_name),
+            None,
+        )
 
     take.defvjp(fwd, bwd)
     return take
@@ -111,7 +123,9 @@ def _make_take_rows(n: int, dtype_name: str):
 
 def _take_rows(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """points [B,N,C], idx [B,U] int -> [B,U,C]."""
-    return _make_take_rows(points.shape[1], str(points.dtype))(points, idx)
+    return _make_take_rows(
+        points.shape[1], str(points.dtype), _scatter_mode()
+    )(points, idx)
 
 
 def gather(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -62,9 +62,9 @@ def run_detector(cfg: Config):
     # epochs round down to a multiple of k (scenes are sampled randomly, so
     # no scene is systematically skipped — epochs are step-count brackets).
     # Rounded BEFORE the optimizer so lr-decay boundaries match real epochs.
-    k = max(1, cfg.train.steps_per_call)
-    if k > 1:
-        steps_per_epoch = max(1, steps_per_epoch // k) * k
+    steps_per_epoch, k = train_lib.round_steps_per_epoch(
+        steps_per_epoch, cfg.train.steps_per_call
+    )
 
     rng_np = np.random.default_rng(cfg.train.seed)
     example = dataset.train_batch(rng_np, cfg.train.batch_size)

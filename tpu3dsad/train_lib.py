@@ -47,10 +47,30 @@ def apply_runtime_config(cfg: Config) -> None:
         ops.set_fast_mode(cfg.ops_fast_mode)
     else:  # same rule for TPU3DSAD_FAST_MODE (bench/debug toggle)
         ops.set_fast_mode(os.environ.get("TPU3DSAD_FAST_MODE", "approx"))
-    jax.config.update(
-        "jax_default_matmul_precision",
-        "default" if cfg.train.bf16_matmul else "highest",
-    )
+    # same precedence rule as ops_impl/fast_mode (ADVICE r4): bf16_matmul=
+    # True is the dataclass default ("unspecified"), so a user's global
+    # JAX_DEFAULT_MATMUL_PRECISION (e.g. =highest for debugging) wins
+    # there; bf16_matmul=False is an explicit fp32-parity request and
+    # owns the global.
+    if cfg.train.bf16_matmul:
+        prec = os.environ.get("JAX_DEFAULT_MATMUL_PRECISION", "default")
+    else:
+        prec = "highest"
+    jax.config.update("jax_default_matmul_precision", prec)
+
+
+def round_steps_per_epoch(steps_per_epoch: int,
+                          steps_per_call: int) -> tuple[int, int]:
+    """(rounded steps_per_epoch, effective k) for the fused k-step block.
+
+    Contract (config.py train.steps_per_call): epochs round DOWN to a
+    multiple of k; k is clamped to steps_per_epoch so a tiny dataset with
+    a large steps_per_call never oversamples an epoch (ADVICE r4 — the
+    previous max(1, spe // k) * k rounded UP whenever spe < k)."""
+    k = max(1, min(steps_per_call, steps_per_epoch))
+    if k > 1:
+        steps_per_epoch = (steps_per_epoch // k) * k
+    return steps_per_epoch, k
 
 
 def check_and_record_train_meta(ckpt_dir: str, steps_per_epoch: int,
