@@ -21,6 +21,13 @@ from tpu3dsad.train_detector import build_detector, evaluate
 
 
 def main(argv):
+    import os
+
+    # debug/bench toggle — see train.py: force a platform before backend
+    # init (the axon sitecustomize ignores JAX_PLATFORMS on a dead tunnel)
+    plat = os.environ.get("TPU3DSAD_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     cfg = parse_cli(argv)
     print(describe(cfg), file=sys.stderr)
     from tpu3dsad import train_lib as _tl
