@@ -10,12 +10,15 @@ materializes the one-hot tiles through HBM (docs/kernel_notes.md note (e));
 here each [Ut, Nt] one-hot tile is an iota-compare in VMEM feeding the MXU
 directly, so the only HBM traffic is g in + out once per n-tile.
 
-Precision: the one-hot operand is EXACT in bf16 (entries are 0/1), so
-``Precision.HIGH`` (bf16_3x) reproduces full-fp32 products: decomposing
-g = g_hi + g_lo, the cross terms oh·g_hi + oh·g_lo are exact and the
-dropped lo·lo term is zero because oh_lo == 0. Pinned explicitly (NOT
-inherited) so the fp32-parity mode's global HIGHEST override cannot change
-the lowering (CLAUDE.md invariant).
+Precision: the one-hot operand is EXACT in bf16 (entries are 0/1), so the
+bf16_3x decomposition reproduces full-fp32 products. Mosaic's Pallas
+lowering rejects ``Precision.HIGH`` (only DEFAULT/HIGHEST lower — caught
+by the r5 AOT-lowering test, tests/ops/test_tpu_lowering.py; interpret
+mode had accepted HIGH silently), so the split is done MANUALLY:
+g = g1+g2+g3 in three exact bf16 terms (_split3_bf16) and three
+``Precision.DEFAULT`` dots — same MXU pass count as HIGH, explicit
+DEFAULT pinned so the fp32-parity mode's global HIGHEST override cannot
+change the lowering (CLAUDE.md invariant).
 
 Two layouts, selected by C:
 - **C-on-lanes** (C ≥ _MIN_C_LANES): out tile [Nt, C]; dot is
@@ -53,6 +56,39 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _onehot_t(idx_ref, nt: int, ut: int):
+    """Transposed one-hot tile ohT[nn, uu] = (idx[uu] == n0 + nn), [nt, ut].
+
+    idx arrives as a LANE vector ([1, 1, ut] block → [ut] on lanes) and is
+    broadcast across sublanes — building the one-hot transposed avoids the
+    lane→sublane relayout of ``idx[:, None]`` entirely (and the [B, 1, U]
+    idx layout satisfies the Mosaic block rule: the block's last-two dims
+    (1, ut) match the array's second-to-last dim 1 / are 128-divisible —
+    the original 2D (1, ut) block on [B, U] failed TPU lowering for B > 1,
+    caught by the r5 AOT-lowering test)."""
+    n0 = pl.program_id(1) * nt
+    idx = idx_ref[0, 0]  # [ut] int32 on lanes
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nt, ut), 0) + n0
+    return (idx[None, :] == rows).astype(jnp.float32)
+
+
+def _split3_bf16(g):
+    """g fp32 → (g1, g2, g3) bf16 with g1+g2+g3 == g EXACTLY.
+
+    Each residual subtraction is exact in fp32 (the rounded term cancels
+    the leading mantissa bits, leaving ≤16 significant bits), and the
+    final residual has ≤8 significant bits, so three 8-bit bf16 mantissas
+    capture all 24 fp32 mantissa bits — the same decomposition the
+    bf16_3x (Precision.HIGH) hardware pass uses. Needed manually because
+    Mosaic's Pallas lowering supports only DEFAULT/HIGHEST dot precision
+    (caught by the r5 AOT-lowering test; interpret mode accepted HIGH)."""
+    g1 = g.astype(jnp.bfloat16)
+    r = g - g1.astype(jnp.float32)
+    g2 = r.astype(jnp.bfloat16)
+    g3 = (r - g2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return g1, g2, g3
+
+
 def _kernel_c_lanes(idx_ref, g_ref, out_ref, *, nt: int, ut: int):
     u = pl.program_id(2)
 
@@ -60,17 +96,20 @@ def _kernel_c_lanes(idx_ref, g_ref, out_ref, *, nt: int, ut: int):
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    n0 = pl.program_id(1) * nt
-    idx = idx_ref[0]  # [Ut] int32
-    cols = jax.lax.broadcasted_iota(jnp.int32, (ut, nt), 1) + n0
-    oh = (idx[:, None] == cols).astype(jnp.float32)
-    out_ref[0] += jax.lax.dot_general(
-        oh,
-        g_ref[0],
-        (((0,), (0,)), ((), ())),  # contract the u-tile
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH,
-    )
+    # bf16 one-hot is exact (entries 0/1); DEFAULT pinned explicitly so
+    # the fp32-parity mode's global HIGHEST cannot change the lowering
+    # (CLAUDE.md invariant)
+    oht = _onehot_t(idx_ref, nt, ut).astype(jnp.bfloat16)  # [nt, ut]
+    acc = jnp.zeros_like(out_ref[0])
+    for gk in _split3_bf16(g_ref[0]):
+        acc += jax.lax.dot_general(
+            oht,
+            gk,
+            (((1,), (0,)), ((), ())),  # contract the u-tile → [nt, C]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+    out_ref[0] += acc
 
 
 def _kernel_n_lanes(idx_ref, gt_ref, out_ref, *, nt: int, ut: int):
@@ -80,17 +119,17 @@ def _kernel_n_lanes(idx_ref, gt_ref, out_ref, *, nt: int, ut: int):
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    n0 = pl.program_id(1) * nt
-    idx = idx_ref[0]  # [Ut] int32
-    cols = jax.lax.broadcasted_iota(jnp.int32, (ut, nt), 1) + n0
-    oh = (idx[:, None] == cols).astype(jnp.float32)
-    out_ref[0] += jax.lax.dot_general(
-        gt_ref[0],
-        oh,
-        (((1,), (0,)), ((), ())),  # contract the u-tile
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH,
-    )
+    oht = _onehot_t(idx_ref, nt, ut).astype(jnp.bfloat16)  # [nt, ut]
+    acc = jnp.zeros_like(out_ref[0])
+    for gk in _split3_bf16(gt_ref[0]):
+        acc += jax.lax.dot_general(
+            gk,
+            oht,
+            (((1,), (1,)), ((), ())),  # contract the u-tile → [C, nt]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+    out_ref[0] += acc
 
 
 @functools.partial(jax.jit, static_argnames=("n", "interpret"))
@@ -117,6 +156,9 @@ def scatter_rows(g: jnp.ndarray, idx: jnp.ndarray, n: int,
         # -1 never matches a col ⇒ padded slots add nothing
         idx = jnp.pad(idx, ((0, 0), (0, u_pad - U)), constant_values=-1)
         g = jnp.pad(g, ((0, 0), (0, u_pad - U), (0, 0)))
+    # [B, 1, U]: the unit sublane dim makes the (1, 1, ut) block legal
+    # under the Mosaic last-two-dims rule for any B (see _onehot_t)
+    idx = idx[:, None, :]
 
     grid = (B, n_pad // nt, u_pad // ut)
 
@@ -128,7 +170,7 @@ def scatter_rows(g: jnp.ndarray, idx: jnp.ndarray, n: int,
             functools.partial(_kernel_c_lanes, nt=nt, ut=ut),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, ut), lambda b, i, u: (b, u),
+                pl.BlockSpec((1, 1, ut), lambda b, i, u: (b, 0, u),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, ut, c_pad), lambda b, i, u: (b, u, 0),
                              memory_space=pltpu.VMEM),
@@ -149,7 +191,7 @@ def scatter_rows(g: jnp.ndarray, idx: jnp.ndarray, n: int,
         functools.partial(_kernel_n_lanes, nt=nt, ut=ut),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, ut), lambda b, i, u: (b, u),
+            pl.BlockSpec((1, 1, ut), lambda b, i, u: (b, 0, u),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c_pad, ut), lambda b, i, u: (b, 0, u),
                          memory_space=pltpu.VMEM),
