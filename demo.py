@@ -22,6 +22,15 @@ from tpu3dsad.train_detector import build_detector
 
 
 def main(argv):
+    import os
+
+    # debug/bench toggle — see train.py: force a platform before backend
+    # init (a dead axon tunnel hangs backend init >150s)
+    plat = os.environ.get("TPU3DSAD_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     out_dir = "/tmp/tpu3dsad_demo"
     rest = []
     for a in argv:
