@@ -268,7 +268,15 @@ def _maybe_multi_config(headline: dict):
         return
     import subprocess
 
+    def _dump(rows):
+        # Rewritten after EVERY config: an outer timeout that kills this
+        # process mid-sweep must not cost the rows already measured during
+        # a scarce tunnel session.
+        with open(out_path, "w") as f:
+            json.dump(rows, f, indent=1)
+
     rows = {"headline": headline}
+    _dump(rows)
     for n in (1, 2, 3, 4):
         print(f"[bench] multi-config: running config {n}", file=sys.stderr)
         try:
@@ -287,8 +295,7 @@ def _maybe_multi_config(headline: dict):
             }
         except Exception as e:  # a bad config must not cost the artifact
             rows[f"config{n}"] = {"error": repr(e)}
-    with open(out_path, "w") as f:
-        json.dump(rows, f, indent=1)
+        _dump(rows)
     print(f"[bench] multi-config artifact -> {out_path}", file=sys.stderr)
 
 

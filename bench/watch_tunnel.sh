@@ -23,6 +23,7 @@
 #                             (default bench/run_r5_training_legs.sh)
 #   TPU3DSAD_WATCH_ONESHOT    1 = exit after the first successful run
 #                             (default 1; 0 = keep watching for regressions)
+#   TPU3DSAD_WATCH_PROBE      override the probe command (testing only)
 set -u -o pipefail
 cd "$(dirname "$0")/.."
 
@@ -39,17 +40,37 @@ log() { echo "[watch $(date -u +%H:%M:%S)] $*"; }
 
 probe() {
   # Bounded subprocess: a hung tunnel must not hang the watcher.
-  timeout 120 python -u -c "import jax; print(jax.devices())" >/dev/null 2>&1
+  if [ -n "${TPU3DSAD_WATCH_PROBE:-}" ]; then
+    bash -c "$TPU3DSAD_WATCH_PROBE" >/dev/null 2>&1
+  else
+    timeout 120 python -u -c "import jax; print(jax.devices())" >/dev/null 2>&1
+  fi
 }
 
 log "watching tunnel: interval=${INTERVAL}s max=${MAX_HOURS}h suite=$SUITE legs=${LEGS:-<none>}"
+was_up=0   # edge detector: run the suite only on a down->up transition
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   if probe; then
+    if [ "$was_up" = "1" ]; then
+      # ONESHOT=0 steady-state: tunnel still up after a completed run —
+      # do NOT re-launch (a re-run would monopolize the chip and its
+      # `tee` would truncate already-banked evidence JSONLs).
+      log "tunnel up (already ran); next probe in ${INTERVAL}s"
+      sleep "$INTERVAL"; continue
+    fi
     log "TUNNEL UP"
     touch "$UP_MARKER"
     log "running suite: $SUITE"
     bash "$SUITE" > /tmp/tunnel_suite.log 2>&1
-    log "suite rc=$? (log /tmp/tunnel_suite.log)"
+    suite_rc=$?
+    log "suite rc=$suite_rc (log /tmp/tunnel_suite.log)"
+    if [ "$suite_rc" = "3" ]; then
+      # The suite's own probe failed: the tunnel flapped between our
+      # probe and the suite's. Nothing was measured — keep watching.
+      log "tunnel flapped before the suite started; resuming watch"
+      rm -f "$UP_MARKER"
+      sleep "$INTERVAL"; continue
+    fi
     if [ -n "$LEGS" ]; then
       log "running legs: $LEGS"
       bash "$LEGS" > /tmp/tunnel_legs.log 2>&1
@@ -57,9 +78,11 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     fi
     touch "$DONE_MARKER"
     [ "$ONESHOT" = "1" ] && { log "oneshot done; exiting"; exit 0; }
+    was_up=1
   else
     log "tunnel down; next probe in ${INTERVAL}s"
     rm -f "$UP_MARKER"
+    was_up=0
   fi
   sleep "$INTERVAL"
 done

@@ -22,15 +22,9 @@ from tpu3dsad.train_detector import build_detector
 
 
 def main(argv):
-    import os
+    from tpu3dsad.utils.platform import force_platform_from_env
 
-    # debug/bench toggle — see train.py: force a platform before backend
-    # init (a dead axon tunnel hangs backend init >150s)
-    plat = os.environ.get("TPU3DSAD_PLATFORM")
-    if plat:
-        import jax
-
-        jax.config.update("jax_platforms", plat)
+    force_platform_from_env()  # TPU3DSAD_PLATFORM=cpu|axon, pre-backend-init
     out_dir = "/tmp/tpu3dsad_demo"
     rest = []
     for a in argv:

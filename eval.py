@@ -21,13 +21,9 @@ from tpu3dsad.train_detector import build_detector, evaluate
 
 
 def main(argv):
-    import os
+    from tpu3dsad.utils.platform import force_platform_from_env
 
-    # debug/bench toggle — see train.py: force a platform before backend
-    # init (the axon sitecustomize ignores JAX_PLATFORMS on a dead tunnel)
-    plat = os.environ.get("TPU3DSAD_PLATFORM")
-    if plat:
-        jax.config.update("jax_platforms", plat)
+    force_platform_from_env()  # TPU3DSAD_PLATFORM=cpu|axon, pre-backend-init
     cfg = parse_cli(argv)
     print(describe(cfg), file=sys.stderr)
     from tpu3dsad import train_lib as _tl

@@ -104,3 +104,34 @@ def test_env_var_precedence(monkeypatch):
         apply_overrides(Config(), ["ops_impl=pallas"])
     )
     assert ops.get_default_impl() == "pallas"
+
+
+def test_force_platform_from_env():
+    """The shared TPU3DSAD_PLATFORM helper (all three CLIs route through
+    it) must pin the JAX platform in a fresh process BEFORE backend init —
+    the axon sitecustomize otherwise force-registers the tunneled TPU and
+    a dead tunnel hangs init >150s."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "from tpu3dsad.utils.platform import force_platform_from_env\n"
+         "import jax\n"
+         "assert force_platform_from_env() == 'cpu'\n"
+         "assert jax.default_backend() == 'cpu', jax.default_backend()\n"
+         "print('ok')"],
+        capture_output=True, text=True, timeout=120,
+        env={"TPU3DSAD_PLATFORM": "cpu", "PATH": "/usr/bin:/bin",
+             "HOME": "/root"},
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert r.stdout.strip() == "ok"
+
+
+def test_force_platform_noop_when_unset(monkeypatch):
+    from tpu3dsad.utils.platform import force_platform_from_env
+
+    monkeypatch.delenv("TPU3DSAD_PLATFORM", raising=False)
+    assert force_platform_from_env() is None

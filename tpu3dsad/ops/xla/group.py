@@ -96,10 +96,15 @@ def _make_take_rows(n: int, dtype_name: str, scatter_mode: str):
     """custom_vjp'd flat gather, parameterized by the STATIC source length,
     dtype (custom_vjp residuals must be JAX types), and the scatter-VJP
     tier. The tier is part of the cache key so flipping
-    TPU3DSAD_SCATTER_VJP mid-process takes effect at the next call — the
-    mode used to be read at trace time inside the cached function, which
-    silently ignored env changes after the first group()/gather() trace
-    (ADVICE r4: a bench comparing tiers in one process measured one)."""
+    TPU3DSAD_SCATTER_VJP mid-process takes effect at the next RE-TRACE —
+    the mode used to be read at trace time inside the cached function,
+    which silently ignored env changes after the first group()/gather()
+    trace (ADVICE r4: a bench comparing tiers in one process measured
+    one). Caveat: an already-jit-compiled caller (e.g. a cached train
+    step) never re-runs this Python, so its executable keeps the tier it
+    was traced with — a per-tier bench must build a fresh jit per tier
+    (bench/bench_scatter_vjp.py sidesteps this by jitting each tier's
+    kernel entry directly, never through the env dispatch)."""
 
     @jax.custom_vjp
     def take(points, idx):

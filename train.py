@@ -21,16 +21,9 @@ from tpu3dsad.config import parse_cli, describe
 
 
 def main(argv):
-    # debug/bench toggle (CLAUDE.md env-var convention): force a JAX
-    # platform BEFORE backend init. Needed for CPU training legs — the
-    # axon sitecustomize force-registers the tunneled TPU in every
-    # process and a dead tunnel HANGS backend init >150s, so
-    # JAX_PLATFORMS=cpu in the environment alone is not honored.
-    import os
+    from tpu3dsad.utils.platform import force_platform_from_env
 
-    plat = os.environ.get("TPU3DSAD_PLATFORM")
-    if plat:
-        jax.config.update("jax_platforms", plat)
+    force_platform_from_env()  # TPU3DSAD_PLATFORM=cpu|axon, pre-backend-init
     cfg = parse_cli(argv)
     print(describe(cfg), file=sys.stderr)
     from tpu3dsad import train_lib as _tl
