@@ -21,9 +21,12 @@ log probe
 timeout 180 python -u -c "import jax; print(jax.devices())" || { echo TUNNEL_DOWN; exit 3; }
 
 mkdir -p docs/experiments
+# Outer budget covers the inner worst case (headline + 4 configs at
+# 1800s each); bench.py also rewrites the artifact after every config,
+# so even a kill here banks the rows measured so far.
 step "headline approx + configs table" \
     env TPU3DSAD_BENCH_MULTI=docs/experiments/r5_bench_configs.json \
-    timeout 3600 python -u bench.py
+    timeout 9000 python -u bench.py
 step "headline approx rerun"  timeout 1200 python -u bench.py
 step "headline sorted"        env TPU3DSAD_FAST_MODE=sorted timeout 1800 python -u bench.py
 step "sorted_grouping R=8"    timeout 1800 python -u bench/bench_sorted_grouping.py
