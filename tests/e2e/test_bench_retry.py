@@ -83,3 +83,7 @@ def test_tunnel_down_emits_json_and_rc3():
     line = json.loads(r.stdout.strip().splitlines()[-1])
     assert line["value"] is None
     assert "TUNNEL_DOWN" in line["error"]
+    # the headline failure record stays useful: it carries the last
+    # driver-captured number, clearly labeled as such (value stays null)
+    assert line["last_measured"]["value"] == 233.6
+    assert "BENCH_r02" in line["last_measured"]["source"]
