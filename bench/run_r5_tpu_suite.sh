@@ -20,6 +20,22 @@ step() { log "$1"; shift; "$@" || log "STEP_FAILED($?)"; }
 log probe
 timeout 180 python -u -c "import jax; print(jax.devices())" || { echo TUNNEL_DOWN; exit 3; }
 
+# Single-core host: a CPU training leg running in parallel inflates the
+# dispatch-side timings of every step below. Suspend it (exact pid chain
+# from its pidfile — never pattern-match) and resume on exit; its wall
+# timeout may expire while frozen, which is acceptable — the TPU legs
+# supersede the CPU fallback leg once the tunnel is back.
+CPU_LEG_PY=""
+if [ -f /tmp/r5_legA.pid ] && kill -0 "$(cat /tmp/r5_legA.pid)" 2>/dev/null; then
+  _leg=$(cat /tmp/r5_legA.pid)
+  _t=$(pgrep -P "$_leg" timeout 2>/dev/null | head -1)
+  [ -n "$_t" ] && CPU_LEG_PY=$(pgrep -P "$_t" python 2>/dev/null | head -1)
+  if [ -n "$CPU_LEG_PY" ]; then
+    kill -STOP "$CPU_LEG_PY" && log "suspended CPU leg python=$CPU_LEG_PY"
+  fi
+fi
+trap '[ -n "$CPU_LEG_PY" ] && kill -CONT "$CPU_LEG_PY" 2>/dev/null' EXIT
+
 mkdir -p docs/experiments
 # Outer budget covers the inner worst case (headline + 4 configs at
 # 1800s each); bench.py also rewrites the artifact after every config,

@@ -17,6 +17,21 @@ log() { echo "=== $* ==="; }
 log probe
 timeout 180 python -u -c "import jax; print(jax.devices())" || { echo TUNNEL_DOWN; exit 3; }
 
+# Single-core host: suspend a still-running CPU fallback leg so its
+# training python does not contend with these legs' host-side dispatch
+# (scenes/s rows here are committed evidence). Same pid-chain discipline
+# as run_r5_tpu_suite.sh; resumed on exit.
+CPU_LEG_PY=""
+if [ -f /tmp/r5_legA.pid ] && kill -0 "$(cat /tmp/r5_legA.pid)" 2>/dev/null; then
+  _leg=$(cat /tmp/r5_legA.pid)
+  _t=$(pgrep -P "$_leg" timeout 2>/dev/null | head -1)
+  [ -n "$_t" ] && CPU_LEG_PY=$(pgrep -P "$_t" python 2>/dev/null | head -1)
+  if [ -n "$CPU_LEG_PY" ]; then
+    kill -STOP "$CPU_LEG_PY" && log "suspended CPU leg python=$CPU_LEG_PY"
+  fi
+fi
+trap '[ -n "$CPU_LEG_PY" ] && kill -CONT "$CPU_LEG_PY" 2>/dev/null' EXIT
+
 EXP=docs/experiments
 
 log "leg A: generate outdoor scenes"
